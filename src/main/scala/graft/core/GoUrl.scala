@@ -267,6 +267,39 @@ object GoUrl {
     if (out.isEmpty) "." else out.toString
   }
 
+  /** RFC 3986 §5.2 reference resolution (the subset Go's
+    * URL.ResolveReference / colly's AbsoluteURL provides that link
+    * discovery needs — crawler/internal/crawler/link_handler.go:58).
+    * Dot segments are left in place: the normalizer's path.Clean resolves
+    * them identically right after, so the normalized result is bit-equal.
+    */
+  def resolveReference(base: Url, ref: Url): Url = {
+    if (ref.scheme.nonEmpty || ref.host.nonEmpty || ref.userinfo.isDefined) {
+      val scheme = if (ref.scheme.nonEmpty) ref.scheme else base.scheme
+      ref.copy(scheme = scheme)
+    } else if (ref.opaque.nonEmpty) ref
+    else if (ref.path.isEmpty && ref.rawQuery.isEmpty) base
+    else if (ref.path.isEmpty) base.copy(rawQuery = ref.rawQuery)
+    else {
+      val merged =
+        if (ref.path.startsWith("/")) ref.path
+        else {
+          val i = base.path.lastIndexOf('/')
+          (if (i >= 0) base.path.substring(0, i + 1) else "/") + ref.path
+        }
+      base.copy(path = merged, rawQuery = ref.rawQuery)
+    }
+  }
+
+  /** Resolve a raw href against a page URL, like colly's AbsoluteURL:
+    * empty string when either side fails to parse.
+    */
+  def absoluteUrl(pageUrl: String, href: String): String =
+    (parse(pageUrl), parse(href)) match {
+      case (Right(b), Right(r)) => render(resolveReference(b, r))
+      case _                    => ""
+    }
+
   /** Go URL.String() for our field set (fragment already dropped; RawPath is
     * never carried, so the path is freshly escaped like Go does after Path
     * was reassigned).

@@ -1,0 +1,162 @@
+package graft.core
+
+/** Data model of the crawl engine. All timestamps are VIRTUAL milliseconds
+  * (batch clock) — never wall clock — so every run is bit-reproducible
+  * (SURVEY.md §7.4.1). Schemas mirror the reference DDL
+  * (crawler/migrations/014_create_url_frontier.up.sql:2-26,
+  * 015_create_host_state.up.sql:2-12, domain/frontier.go:37-98).
+  */
+object FrontierStatus {
+  val Pending = "pending"
+  val Fetching = "fetching"
+  val Fetched = "fetched"
+  val Failed = "failed"
+  val Dead = "dead"
+}
+
+object FrontierOrigin {
+  val Feed = "feed"
+  val Sitemap = "sitemap"
+  val Spider = "spider"
+  val Manual = "manual"
+  val Discovered = "discovered"
+}
+
+/** Priority constants (reference: domain/frontier.go:22-34). */
+object Priorities {
+  val Min = 1
+  val Max = 10
+  val Default = 5
+  val FeedBonus = 2
+  val SitemapBonus = 1
+  val SpiderArticleBonus = 1
+}
+
+/** Reference config defaults (crawler/internal/config/fetcher/config.go:7-16,
+  * crawler/migrations/015:6).
+  */
+object CrawlDefaults {
+  val MaxRetries = 3
+  val MaxRedirects = 5
+  val MinDelayMs = 1000L
+  val WorkerCount = 16
+  val MaxBodyBytes: Int = 10 * 1024 * 1024
+  val MaxRobotsBytes: Int = 512 * 1024
+  /** Virtual epoch all runs start at (arbitrary fixed instant). */
+  val VirtualEpochMs = 1700000000000L
+  /** Reason strings (fetcher/worker.go:28-35). */
+  val ReasonRobotsBlocked = "robots_blocked"
+  val ReasonNotFound = "not_found"
+  val ReasonTooManyRedirects = "too_many_redirects"
+  val ReasonUnsupportedContentType = "unsupported_content_type"
+  val ReasonBinaryUrl = "binary_url"
+  val ReasonExtractFailed = "extract_failed"
+}
+
+/** One interleaved content span (graft input_hint shape). */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** A frontier row (reference: domain/frontier.go:37-70). `url_hash` is the
+  * primary dedup key; `bucket` is the persisted hash-partition column
+  * (pmod over host) so state joins are co-partitioned.
+  */
+final case class FrontierUrl(
+    url: String,
+    url_hash: String,
+    host: String,
+    source_id: String,
+    origin: String,
+    parent_url: Option[String],
+    depth: Int,
+    priority: Int,
+    status: String,
+    next_fetch_at: Long,
+    last_fetched_at: Option[Long],
+    fetch_count: Int,
+    content_hash: Option[String],
+    etag: Option[String],
+    last_modified: Option[String],
+    retry_count: Int,
+    last_error: Option[String],
+    discovered_at: Long,
+    created_at: Long,
+    updated_at: Long,
+    bucket: Int
+)
+
+/** Per-host politeness state (reference: domain/frontier.go:73-82). */
+final case class HostState(
+    host: String,
+    last_fetch_at: Option[Long],
+    min_delay_ms: Long,
+    bucket: Int
+)
+
+/** A submission into the frontier (reference: database/frontier_repository.go:44-53). */
+final case class Submission(
+    url: String, // normalized
+    url_hash: String,
+    host: String,
+    source_id: String,
+    origin: String,
+    parent_url: Option[String],
+    depth: Int,
+    priority: Int,
+    next_fetch_at: Long
+)
+
+/** One synthetic "web page" of the deterministic corpus — the engine's
+  * stand-in for the network (FIXTURES.md §2). Keyed by the url_hash of its
+  * canonical (normalized) URL.
+  */
+final case class PageRow(
+    doc_id: String, // sha256 of canonical url (content/rawcontent/extractor.go:133-136)
+    url: String, // canonical (normalized) URL
+    url_hash: String,
+    host: String,
+    status_code: Int,
+    redirect_to: String, // "" = none; target canonical URL
+    content_type: String,
+    etag: String, // "" = none
+    extract_ok: Boolean,
+    spans: Seq[Span],
+    links: Seq[String] // raw hrefs as they would appear in the HTML
+)
+
+/** robots.txt fixture row (FIXTURES.md §2). */
+final case class RobotsRow(host: String, body: String, status_code: Int)
+
+/** A seed-list entry (discovery/pipeline.go:369-379: depth 0, priority 5). */
+final case class Seed(url: String, source_id: String)
+
+/** One claim-log entry — the crawl-ordering trace compared against the
+  * oracle (FIXTURES.md §3).
+  */
+final case class ClaimLogEntry(
+    batch_id: Long,
+    seq: Int,
+    url_hash: String,
+    url: String,
+    host: String,
+    priority: Int
+)
+
+/** Per-partition lineage metrics per micro-batch (north-rule requirement). */
+final case class LineageRow(
+    batch_id: Long,
+    partition_id: Int,
+    urls_discovered: Long,
+    urls_fetched: Long,
+    urls_deduped: Long
+)
+
+/** Outcome of fetching one claimed URL (engine-internal). */
+final case class FetchOutcome(
+    url_hash: String,
+    outcome: String, // fetched | dead | failed
+    reason: String, // last_error / dead reason, "" if none
+    final_url: String, // "" if unchanged
+    content_hash: String, // "" if none
+    etag: String,
+    discovered: Seq[Submission]
+)

@@ -1,0 +1,106 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Parquet + atomic snapshot-manifest table store — the sandbox stand-in for
+  * Iceberg (SURVEY.md 7.6: no Iceberg/Delta jars ship with /opt/spark/jars,
+  * so the engine implements the Iceberg properties it actually relies on:
+  * atomic commit, snapshot isolation, per-partition (bucket) file tracking
+  * with carry-forward of untouched buckets, and resume-from-last-snapshot).
+  *
+  * Layout:
+  * {{{
+  * root/
+  *   data/<table>_b<bucket>_v<batch>/   (parquet dir written by Spark)
+  *   data/<table>_v<batch>/             (unbucketed small tables)
+  *   manifest_<batchId>.json            (atomic rename commit)
+  * }}}
+  *
+  * A manifest names, for every table, either a single path or a
+  * bucket-to-path map. Commit = write temp file + ATOMIC_MOVE rename; the
+  * newest manifest wins on resume (mirrors Iceberg's snapshot pointer).
+  * Mid-batch crashes leave only orphan data dirs — never a torn manifest —
+  * which realizes the reference's stale-claim recovery semantics
+  * (frontier_repository.go:492-512) for free: an uncommitted batch simply
+  * never happened.
+  */
+final class SnapshotStore(rootDir: String) {
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root.resolve("data"))
+
+  final case class Manifest(
+      batchId: Long,
+      clock: Long,
+      buckets: Map[Int, String], // frontier bucket -> data path (relative)
+      tables: Map[String, String] // small tables (host_state, ...) -> path
+  )
+
+  def dataPath(name: String): String =
+    root.resolve("data").resolve(name).toString
+
+  // --- tiny hand-rolled flat JSON (store-controlled keys; no deps) ---
+  private def render(m: Manifest): String = {
+    val b = m.buckets.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
+    val t = m.tables.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
+    s"""{"batchId":${m.batchId},"clock":${m.clock},"buckets":{$b},"tables":{$t}}"""
+  }
+
+  /** Minimal parser for the exact shape `render` emits. */
+  private def parse(s: String): Manifest = {
+    def longField(name: String): Long = {
+      val p = ("\"" + name + "\":(-?\\d+)").r
+      p.findFirstMatchIn(s).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"manifest missing $name"))
+    }
+    def mapField(name: String): Map[String, String] = {
+      val start = s.indexOf("\"" + name + "\":{")
+      if (start < 0) Map.empty
+      else {
+        val open = s.indexOf('{', start)
+        val close = s.indexOf('}', open)
+        val body = s.substring(open + 1, close)
+        if (body.trim.isEmpty) Map.empty
+        else body.split(",").map { kv =>
+          // keys/values are store-generated names (no escapes possible)
+          val Array(k, v) = kv.split(":", 2)
+          def unq(x: String) = x.trim.stripPrefix("\"").stripSuffix("\"")
+          unq(k) -> unq(v)
+        }.toMap
+      }
+    }
+    Manifest(longField("batchId"), longField("clock"),
+      mapField("buckets").map { case (k, v) => k.toInt -> v },
+      mapField("tables"))
+  }
+
+  /** Atomic commit: temp write + rename (the Iceberg snapshot-pointer move). */
+  def commit(m: Manifest): Unit = {
+    val tmp = root.resolve(s".manifest_${m.batchId}.tmp")
+    Files.writeString(tmp, render(m))
+    Files.move(tmp, root.resolve(f"manifest_${m.batchId}%012d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Latest committed snapshot, if any (resume point). */
+  def latest(): Option[Manifest] = {
+    if (!Files.exists(root)) return None
+    val manifests = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest_")).toSeq
+    if (manifests.isEmpty) None
+    else Some(parse(Files.readString(manifests.maxBy(_.getFileName.toString))))
+  }
+
+  /** Drop snapshots after batchId (used by tests to simulate a crash). */
+  def truncateAfter(batchId: Long): Unit =
+    Files.list(root).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("manifest_") &&
+        n.stripPrefix("manifest_").stripSuffix(".json").toLong > batchId
+      }
+      .toSeq
+      .foreach(Files.delete)
+}

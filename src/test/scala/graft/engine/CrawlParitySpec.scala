@@ -1,0 +1,146 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.core._
+import graft.corpus._
+import graft.oracle.CrawlOracle
+import graft.state.SnapshotStore
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end parity: the Spark engine must reproduce the oracle's crawl
+  * ordering (claim log), final URL-seen set, full frontier state, and doc
+  * span sequences exactly (SURVEY.md §5.2, BASELINE.md target correctness).
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def newStore(): SnapshotStore =
+    new SnapshotStore(Files.createTempDirectory("graft-state").toString)
+
+  private def mkEngine(pages: Seq[PageRow], robots: Seq[RobotsRow],
+      cfg: EngineConfig, store: SnapshotStore = newStore()): CrawlEngine =
+    new CrawlEngine(spark, store, spark.createDataset(pages), robots, cfg)
+
+  /** Frontier fields both models define, keyed by url_hash. */
+  private def engineState(e: CrawlEngine): Map[String, Product] =
+    e.frontier().collect().map { r =>
+      r.url_hash -> ((r.url, r.host, r.status, r.priority, r.depth, r.origin,
+        r.parent_url, r.retry_count, r.fetch_count, r.content_hash,
+        r.last_error, r.next_fetch_at, r.last_fetched_at, r.discovered_at))
+    }.toMap
+
+  private def oracleState(o: CrawlOracle): Map[String, Product] =
+    o.frontier.map { case (h, r) =>
+      h -> ((r.url, r.host, r.status, r.priority, r.depth, r.origin,
+        r.parentUrl, r.retryCount, r.fetchCount, r.contentHash,
+        r.lastError, r.nextFetchAt, r.lastFetchedAt, r.discoveredAt))
+    }.toMap
+
+  private def engineClaims(e: CrawlEngine): Seq[(Long, Int, String)] =
+    e.claimLog().as[ClaimLogEntry].collect().toSeq
+      .sortBy(c => (c.batch_id, c.seq)).map(c => (c.batch_id, c.seq, c.url_hash))
+
+  private def oracleClaims(o: CrawlOracle): Seq[(Long, Int, String)] =
+    o.claimLog.toSeq.map(c => (c.batch_id, c.seq, c.url_hash))
+
+  private def compareAll(e: CrawlEngine, o: CrawlOracle): Unit = {
+    val (ec, oc) = (engineClaims(e), oracleClaims(o))
+    if (ec != oc) {
+      val firstDiff = ec.zip(oc).indexWhere { case (a, b) => a != b }
+      fail(s"claim logs diverge (engine ${ec.size} vs oracle ${oc.size}); " +
+        s"first diff at $firstDiff: engine=${ec.lift(firstDiff)} oracle=${oc.lift(firstDiff)}")
+    }
+    assert(e.frontier().collect().map(_.url_hash).toSet == o.seenSet, "URL-seen set")
+    val (es, os) = (engineState(e), oracleState(o))
+    val diffKeys = (es.keySet ++ os.keySet).filter(k => es.get(k) != os.get(k))
+    assert(diffKeys.isEmpty,
+      s"frontier rows differ for ${diffKeys.take(3).map(k => (k, es.get(k), os.get(k)))}")
+    // docs + span-sequence invariant (kind, text, media_ref, order)
+    val edocs = e.docs().as[(String, String, Seq[Span], Long)].collect()
+      .map(d => d._1 -> (d._2, d._3)).toMap
+    val odocs = o.docs.toMap
+    assert(edocs.keySet == odocs.keySet, "doc set")
+    edocs.foreach { case (id, (url, spans)) =>
+      assert(odocs(id)._1 == url, s"doc url for $id")
+      assert(odocs(id)._2 == spans, s"span sequence for $id")
+      assert(spans.map(_.offset) == spans.indices.map(identity), s"span order for $id")
+    }
+  }
+
+  private def runBoth(pages: Seq[PageRow], robots: Seq[RobotsRow],
+      seeds: Seq[Seed], cfg: EngineConfig): (CrawlEngine, CrawlOracle) = {
+    val e = mkEngine(pages, robots, cfg)
+    e.seed(seeds)
+    e.runDrain()
+    val o = new CrawlOracle(pages.map(p => p.url_hash -> p).toMap,
+      robots.map(r => r.host -> r).toMap, cfg.userAgent, cfg.maxRetries,
+      cfg.maxRedirects, cfg.maxDepth)
+    o.submitSeeds(seeds)
+    o.runDrain()
+    (e, o)
+  }
+
+  test("fixture-news-site: exact claim order, seen set, docs vs oracle") {
+    val (pages, robots, seeds) = Corpus.fixtureNewsSite()
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)
+    val (e, o) = runBoth(pages, robots, seeds, cfg)
+    compareAll(e, o)
+    // the three fixture pages all get fetched
+    assert(o.statusCounts(FrontierStatus.Fetched) == 3)
+  }
+
+  test("synthetic corpus: full parity (ordering, seen set, state, spans)") {
+    val p = CorpusParams(numHosts = 6, pagesPerHost = 8, skewHosts = 1,
+      skewFactor = 3, outdegree = 4)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 12)
+    val (e, o) = runBoth(pages, robots, seeds, cfg)
+    compareAll(e, o)
+    // the corpus must actually exercise the interesting paths
+    val errs = o.frontier.values.flatMap(_.lastError).toSeq
+    assert(errs.exists(_ == "robots_blocked"), "corpus exercised robots")
+    assert(errs.exists(_ == "not_found"), "corpus exercised 404")
+    assert(errs.exists(_.startsWith("http status")), "corpus exercised retry")
+    assert(o.statusCounts(FrontierStatus.Fetched) > 10)
+    assert(o.claimLog.size > 20)
+  }
+
+  test("resume: restart from a mid-drain snapshot converges to identical state") {
+    val p = CorpusParams(numHosts = 4, pagesPerHost = 5, skewHosts = 0,
+      outdegree = 3)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 6)
+
+    // uninterrupted run
+    val (e1, o) = runBoth(pages, robots, seeds, cfg)
+
+    // interrupted run: stop after 4 batches, resume from snapshot, finish
+    val store2 = newStore()
+    val e2 = mkEngine(pages, robots, cfg, store2)
+    e2.seed(seeds)
+    (1 to 4).foreach(_ => e2.step())
+    val e3 = mkEngine(pages, robots, cfg, store2)
+    assert(e3.resume(), "resume finds the snapshot")
+    assert(e3.batchId == 4)
+    e3.runDrain()
+    compareAll(e3, o)
+    assert(engineClaims(e3) == engineClaims(e1))
+    assert(engineState(e3) == engineState(e1))
+  }
+
+  test("lineage: per-partition metrics recorded every batch") {
+    val (pages, robots, seeds) = Corpus.fixtureNewsSite()
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)
+    val (e, _) = runBoth(pages, robots, seeds, cfg)
+    val rows = e.lineage().as[LineageRow].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.urls_fetched).sum == 3)
+    assert(rows.forall(r => r.batch_id >= 1))
+  }
+}
