@@ -1,13 +1,446 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.corpus.Corpus
+import graft.engine.{CrawlEngine, EngineConfig}
+import graft.functions.UrlUdfs
+import graft.ops.TextOps
+import graft.state.SnapshotStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract (see README/SURVEY.md §7): one `queries` entry per
+  * implemented operator from SURVEY.md §2 plus the training-data pipeline
+  * operators, each with DuckDB oracle SQL over the same parquet tables.
+  * Column names and types are aligned between both sides (BIGINT counts,
+  * DECIMAL(18,2) money sums, ROUND(…,6) ratios) so the driver's
+  * hash-compare is deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the crawl engine itself — drains the reference seed-list
+    * fixture site end-to-end (claim → politeness → fetch → extract →
+    * merge) and returns the frontier status counts.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val (pages, robots, seeds) = Corpus.fixtureNewsSite()
+    val store = new SnapshotStore(
+      java.nio.file.Files.createTempDirectory("graft-entry").toString)
+    val engine = new CrawlEngine(spark, store, spark.createDataset(pages),
+      robots, EngineConfig(numBuckets = 4, maxDepth = 5))
+    engine.seed(seeds)
+    engine.runDrain()
+    engine.frontier().groupBy("status").count().orderBy("status").toDF()
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // dirty URL built from part rows — exercises the full normalizer
+  private def dirtyUrl = concat(lit("HTTP://EXAMPLE.com:80/"),
+    regexp_replace(col("p_name"), " ", "/"), lit("/?b=2&a=1&utm_source=x#frag"))
+  private def dirtyHostUrl = concat(lit("HTTPS://"),
+    upper(regexp_replace(col("p_brand"), "#", "")), lit(".Example.COM:8443/x"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational read side (SURVEY §2.7) ----
+    "q01_status_counts" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("cnt")).orderBy("status")),
+
+    "q02_frontier_list" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(lower(col("o_orderpriority")).contains("urgent") &&
+          col("o_totalprice") > 150000)
+        .orderBy(desc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(10).limit(50)),
+
+    "q03_domain_aggregates" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("c_mktsegment")).as("nseg"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"),
+          round(sum(when(col("c_acctbal") > 0, 1).otherwise(0)) /
+            count(lit(1)).cast("double"), 6).as("pos_ratio"))
+        .filter(col("cnt") > 10)
+        .orderBy("nation")),
+
+    "q04_referring_sources" -> ((s, d) =>
+      t(s, d, "documents").select("source").distinct().orderBy("source")),
+
+    "q05_origin_budget" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .agg(count(lit(1)).as("budget_used"))),
+
+    // ---- claim/scheduler column logic (SURVEY §2.3/§2.6) ----
+    "q06_claim_order" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("value"), asc("ts"), asc("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "value").orderBy("user_id")
+    }),
+
+    "q07_retry_backoff" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        (least(pow(lit(2.0), col("user_id") % 10), lit(96.0)) * 5)
+          .as("backoff_min"))
+        .orderBy("event_id")),
+
+    "q08_submit_merge" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(max(col("value")).as("priority_merged"),
+          min(col("ts")).as("first_seen"),
+          count(lit(1)).as("submissions"))
+        .orderBy("user_id")),
+
+    "q09_status_dispatch" -> ((s, d) =>
+      t(s, d, "events").select(
+        when(col("event_type") === "purchase", "fetched")
+          .when(col("event_type") === "error", "failed")
+          .when(col("event_type") === "signup", "fetched")
+          .otherwise("pending").as("outcome"))
+        .groupBy("outcome").agg(count(lit(1)).as("cnt"))
+        .orderBy("outcome")),
+
+    "q10_stale_recovery" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") === "view" &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+        .agg(count(lit(1)).as("recovered"))),
+
+    // ---- canonicalization (SURVEY §2.1) through the real normalizer ----
+    "q11_normalize_url" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        UrlUdfs.normalize_url(dirtyUrl).as("normalized"))
+        .orderBy("p_partkey")),
+
+    "q12_url_hash" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        UrlUdfs.url_hash(dirtyUrl).as("h"))
+        .orderBy("p_partkey")),
+
+    "q13_extract_host" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        UrlUdfs.extract_host(dirtyHostUrl).as("host"))
+        .orderBy("p_partkey")),
+
+    // ---- graft span shape (input_hint) ----
+    "q14_spans_flatten" -> ((s, d) =>
+      TextOps.flattenSpans(TextOps.spanize(t(s, d, "documents")))
+        .orderBy("doc_id", "offset")),
+
+    "q15_span_fingerprint" -> ((s, d) =>
+      TextOps.spanize(t(s, d, "documents")).select(col("doc_id"),
+        sha2(concat_ws("|", expr(
+          "transform(spans, x -> concat(x.kind, ':', x.text, ':', x.media_ref))")),
+          256).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- dedup family ----
+    "q16_dedup_exact" -> ((s, d) =>
+      TextOps.dedupExact(t(s, d, "documents")).orderBy("doc_id")),
+
+    "q17_minhash_signatures" -> ((s, d) =>
+      TextOps.minhashSignatures(t(s, d, "documents"), 8, 3)
+        .orderBy("doc_id", "k")),
+
+    "q18_minhash_lsh_pairs" -> ((s, d) =>
+      TextOps.minhashLshPairs(t(s, d, "documents"), 8, 4, 3)
+        .orderBy("a", "b")),
+
+    "q19_simhash" -> ((s, d) =>
+      TextOps.simhash16(t(s, d, "documents")).orderBy("doc_id")),
+
+    "q30_ngram_jaccard" -> ((s, d) =>
+      TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 0.05)
+        .orderBy("a", "b")),
+
+    // ---- similarity search ----
+    "q20_ann_cosine" -> ((s, d) =>
+      TextOps.cosineTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy("qid", "rn")),
+
+    "q21_ann_lsh_buckets" -> ((s, d) =>
+      TextOps.lshBuckets(t(s, d, "embeddings"), 8).orderBy("vec_id")),
+
+    // ---- text analysis ----
+    "q22_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(t(s, d, "documents")).orderBy("doc_id")),
+
+    "q23_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(t(s, d, "documents")).orderBy("doc_id")),
+
+    "q24_langid" -> ((s, d) =>
+      TextOps.langId(t(s, d, "documents")).orderBy("doc_id")),
+
+    "q25_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(t(s, d, "documents")).orderBy("doc_id")),
+
+    // ---- streaming-analog windows + scheduler stats ----
+    "q26_event_windows" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("val"))
+        .select(col("w.start").as("wstart"), col("cnt"), col("val"))
+        .orderBy("wstart")),
+
+    "q27_adaptive_interval" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        least(pow(lit(2.0), col("user_id") % 5) * 30, lit(1440.0))
+          .as("next_interval_min"))
+        .orderBy("event_id")),
+
+    "q28_exec_stats" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(count(when(col("value") > 50, 1)).as("completed"),
+          count(when(col("value") <= 50, 1)).as("failed"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .orderBy("event_type")),
+
+    // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----
+    "q29_multimodal" -> ((s, d) =>
+      TextOps.multimodalFeatures(t(s, d, "documents")).orderBy("doc_id"))
+  )
+
+  // Shared SQL fragments for the DuckDB oracle.
+  private val dirtySqlNorm =
+    "'https://example.com/' || replace(p_name, ' ', '/') || '?a=1&b=2'"
+  private val shingleSub =
+    """SELECT doc_id, lang, source, array_to_string(toks[i:i+2], ' ') AS sh
+       FROM (SELECT doc_id, lang, source, toks,
+                    unnest(toks) AS _t, generate_subscripts(toks, 1) AS i
+             FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                   FROM documents))
+       WHERE i <= greatest(len(toks) - 2, 1)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_status_counts" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
+
+    "q02_frontier_list" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE lower(o_orderpriority) LIKE '%urgent%' AND o_totalprice > 150000
+         ORDER BY o_orderkey DESC LIMIT 50 OFFSET 10""",
+
+    "q03_domain_aggregates" ->
+      """SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nseg,
+                SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal,
+                ROUND(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS pos_ratio
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name HAVING COUNT(*) > 10 ORDER BY nation""",
+
+    "q04_referring_sources" ->
+      "SELECT DISTINCT source FROM documents ORDER BY source",
+
+    "q05_origin_budget" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS budget_used FROM events
+         WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00'""",
+
+    "q06_claim_order" ->
+      """SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+
+    "q07_retry_backoff" ->
+      """SELECT event_id, LEAST(POW(2, user_id % 10), 96) * 5 AS backoff_min
+         FROM events ORDER BY event_id""",
+
+    "q08_submit_merge" ->
+      """SELECT user_id, MAX(value) AS priority_merged, MIN(ts) AS first_seen,
+                CAST(COUNT(*) AS BIGINT) AS submissions
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q09_status_dispatch" ->
+      """SELECT outcome, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           SELECT CASE WHEN event_type = 'purchase' THEN 'fetched'
+                       WHEN event_type = 'error' THEN 'failed'
+                       WHEN event_type = 'signup' THEN 'fetched'
+                       ELSE 'pending' END AS outcome FROM events)
+         GROUP BY outcome ORDER BY outcome""",
+
+    "q10_stale_recovery" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS recovered FROM events
+         WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-10 00:00:00'""",
+
+    "q11_normalize_url" ->
+      s"SELECT p_partkey, $dirtySqlNorm AS normalized FROM part ORDER BY p_partkey",
+
+    "q12_url_hash" ->
+      s"SELECT p_partkey, sha256($dirtySqlNorm) AS h FROM part ORDER BY p_partkey",
+
+    "q13_extract_host" ->
+      """SELECT p_partkey, lower(replace(p_brand, '#', '')) || '.example.com' AS host
+         FROM part ORDER BY p_partkey""",
+
+    "q14_spans_flatten" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS "offset",
+                CASE WHEN (i - 1) % 3 = 2 THEN 'media' ELSE 'text' END AS kind,
+                CASE WHEN (i - 1) % 3 = 2 THEN '' ELSE tok END AS text,
+                CASE WHEN (i - 1) % 3 = 2 THEN 'asset://' || md5(tok) ELSE '' END AS media_ref
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                      generate_subscripts(string_split(text, ' '), 1) AS i
+               FROM documents)
+         ORDER BY doc_id, "offset"""",
+
+    "q15_span_fingerprint" ->
+      """SELECT doc_id, sha256(string_agg(kind || ':' || text || ':' || media_ref,
+                '|' ORDER BY o)) AS fp
+         FROM (SELECT doc_id, i AS o,
+                      CASE WHEN (i - 1) % 3 = 2 THEN 'media' ELSE 'text' END AS kind,
+                      CASE WHEN (i - 1) % 3 = 2 THEN '' ELSE tok END AS text,
+                      CASE WHEN (i - 1) % 3 = 2 THEN 'asset://' || md5(tok) ELSE '' END AS media_ref
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                            generate_subscripts(string_split(text, ' '), 1) AS i
+                     FROM documents))
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q16_dedup_exact" ->
+      """SELECT d.doc_id, t.dup_count FROM documents d
+         JOIN (SELECT text, MIN(doc_id) AS m, CAST(COUNT(*) AS BIGINT) AS dup_count
+               FROM documents GROUP BY text) t ON d.text = t.text
+         WHERE d.doc_id = t.m ORDER BY d.doc_id""",
+
+    "q17_minhash_signatures" ->
+      s"""SELECT doc_id, CAST(j AS INT) AS k,
+                 MIN(CAST('0x' || substr(md5(sh || '#' || j), 1, 15) AS BIGINT)) AS minhash
+          FROM ($shingleSub), generate_series(0, 7) AS gj(j)
+          GROUP BY doc_id, j ORDER BY doc_id, k""",
+
+    "q18_minhash_lsh_pairs" ->
+      s"""WITH sig AS (
+            SELECT doc_id, CAST(j AS INT) AS k,
+                   MIN(CAST('0x' || substr(md5(sh || '#' || j), 1, 15) AS BIGINT)) AS minhash
+            FROM ($shingleSub), generate_series(0, 7) AS gj(j)
+            GROUP BY doc_id, j),
+          banded AS (
+            SELECT doc_id, (k // 2) AS band,
+                   md5(MIN(minhash) || '|' || MAX(minhash)) AS band_hash
+            FROM sig GROUP BY doc_id, (k // 2))
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+          ORDER BY a, b""",
+
+    "q19_simhash" ->
+      """WITH th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+          bits AS (SELECT doc_id, j,
+                          SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                   FROM th, generate_series(0, 15) AS g(j) GROUP BY doc_id, j)
+          SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                                       ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q30_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT DISTINCT * FROM ($shingleSub)),
+          sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+          inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+                    FROM sh x JOIN sh y ON x.lang = y.lang AND x.source = y.source
+                      AND x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY x.doc_id, y.doc_id)
+          SELECT a, b, ROUND(inter / CAST(sza + szb - inter AS DOUBLE), 6) AS jaccard
+          FROM (SELECT i.a, i.b, i.inter, sa.sz AS sza, sb.sz AS szb
+                FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+                             JOIN sizes sb ON i.b = sb.doc_id)
+          WHERE inter / CAST(sza + szb - inter AS DOUBLE) >= 0.05
+          ORDER BY a, b""",
+
+    "q20_ann_cosine" ->
+      """SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos FROM (
+           SELECT q.vec_id AS qid, e.vec_id,
+                  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])), 6) AS cos,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id ASC) AS rn
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rn <= 3 ORDER BY qid, rn""",
+
+    "q21_ann_lsh_buckets" ->
+      """WITH comp AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS xq
+                       FROM embeddings),
+          dots AS (SELECT vec_id, p,
+                          SUM(xq * (CASE WHEN CAST('0x' || substr(md5(p || ':' || d), 1, 15) AS BIGINT) % 2 = 0
+                                    THEN 1 ELSE -1 END)) AS dot
+                   FROM comp, generate_series(0, 7) AS g(p)
+                   GROUP BY vec_id, p)
+          SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                                       ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id ORDER BY vec_id""",
+
+    "q22_token_stats" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars_actual,
+                CAST(GREATEST(len(string_split(text, ' ')),
+                     CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+
+    "q23_quality_score" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                ROUND(len(list_filter(string_split(text, ' '),
+                      t -> list_contains(string_split('the,a,of,and,to,in,is,it,for,on', ','), t)))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+                ROUND(length(replace(text, ' ', ''))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+
+    "q24_langid" ->
+      """SELECT doc_id, lang AS lang_true,
+                CASE WHEN GREATEST(en, fr, es, de) = 0 THEN 'und'
+                     WHEN en >= GREATEST(fr, es, de) THEN 'en'
+                     WHEN fr >= GREATEST(es, de) THEN 'fr'
+                     WHEN es >= de THEN 'es'
+                     ELSE 'de' END AS lang_pred
+         FROM (SELECT doc_id, lang,
+                 len(list_filter(string_split(text,' '), t -> list_contains(string_split('the,and,of,is,value,table,row', ','), t))) AS en,
+                 len(list_filter(string_split(text,' '), t -> list_contains(string_split('le,la,et,de,est', ','), t))) AS fr,
+                 len(list_filter(string_split(text,' '), t -> list_contains(string_split('el,los,es,y,que', ','), t))) AS es,
+                 len(list_filter(string_split(text,' '), t -> list_contains(string_split('der,die,das,und,ist', ','), t))) AS de
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q25_fingerprint" ->
+      """SELECT doc_id, sha256(lower(array_to_string(string_split(text, ' '), ' '))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q26_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS wstart, CAST(COUNT(*) AS BIGINT) AS cnt,
+                SUM(CAST(value AS DECIMAL(18,2))) AS val
+         FROM events GROUP BY date_trunc('hour', ts) ORDER BY wstart""",
+
+    "q27_adaptive_interval" ->
+      """SELECT event_id, LEAST(POW(2, user_id % 5) * 30, 1440) AS next_interval_min
+         FROM events ORDER BY event_id""",
+
+    "q28_exec_stats" ->
+      """SELECT event_type,
+                CAST(COUNT(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS completed,
+                CAST(COUNT(CASE WHEN value <= 50 THEN 1 END) AS BIGINT) AS failed,
+                SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q29_multimodal" ->
+      """SELECT doc_id, 'application/octet-stream' AS media_type,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                sha256(text) AS content_digest
+         FROM documents ORDER BY doc_id"""
+  )
 }
