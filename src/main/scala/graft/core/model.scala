@@ -130,15 +130,18 @@ final case class RobotsRow(host: String, body: String, status_code: Int)
 final case class Seed(url: String, source_id: String)
 
 /** One claim-log entry — the crawl-ordering trace compared against the
-  * oracle (FIXTURES.md §3).
+  * oracle (FIXTURES.md §3). The in-batch order is DEFINED by
+  * (priority DESC, next_fetch_at ASC, url_hash ASC) — the claim SQL's
+  * ORDER BY plus the deterministic tie-break — so no sequence number is
+  * materialized; readers sort by that key.
   */
 final case class ClaimLogEntry(
     batch_id: Long,
-    seq: Int,
     url_hash: String,
     url: String,
     host: String,
-    priority: Int
+    priority: Int,
+    next_fetch_at: Long
 )
 
 /** Per-partition lineage metrics per micro-batch (north-rule requirement). */

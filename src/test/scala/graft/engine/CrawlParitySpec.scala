@@ -38,12 +38,18 @@ class CrawlParitySpec extends AnyFunSuite {
         r.lastError, r.nextFetchAt, r.lastFetchedAt, r.discoveredAt))
     }.toMap
 
-  private def engineClaims(e: CrawlEngine): Seq[(Long, Int, String)] =
-    e.claimLog().as[ClaimLogEntry].collect().toSeq
-      .sortBy(c => (c.batch_id, c.seq)).map(c => (c.batch_id, c.seq, c.url_hash))
+  /** The defined claim order: batch, then priority DESC, next_fetch_at ASC,
+    * url_hash ASC (the reference's claim ORDER BY + deterministic tie-break).
+    */
+  private def claimOrder(c: ClaimLogEntry): (Long, Int, Long, String) =
+    (c.batch_id, -c.priority, c.next_fetch_at, c.url_hash)
 
-  private def oracleClaims(o: CrawlOracle): Seq[(Long, Int, String)] =
-    o.claimLog.toSeq.map(c => (c.batch_id, c.seq, c.url_hash))
+  private def engineClaims(e: CrawlEngine): Seq[(Long, String)] =
+    e.claimLog().as[ClaimLogEntry].collect().toSeq
+      .sortBy(claimOrder).map(c => (c.batch_id, c.url_hash))
+
+  private def oracleClaims(o: CrawlOracle): Seq[(Long, String)] =
+    o.claimLog.toSeq.sortBy(claimOrder).map(c => (c.batch_id, c.url_hash))
 
   private def compareAll(e: CrawlEngine, o: CrawlOracle): Unit = {
     val (ec, oc) = (engineClaims(e), oracleClaims(o))
