@@ -66,8 +66,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     // ---- 1) query suite timings ----
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (if (skipQueries) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
@@ -75,17 +77,17 @@ object Bench {
     spark.stop()
 
     // ---- 2) crawl scaling: identical job + input, local[8] vs local[32] ----
-    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "60000").toInt
+    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "150000").toInt
     val benchCorpus = CorpusParams(numHosts = benchHosts, pagesPerHost = 2,
       skewHosts = 1, skewFactor = 5, outdegree = 2)
-    val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "8").toInt
+    val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "3").toInt
     // N vs 4N parallelism. This VM advertises 32 CPUs but its measured
     // parallel capacity saturates near 10 threads (noisy-neighbor
     // oversubscription — see BASELINE.md "Measured results"), so the
     // honest two-cluster-size evidence is local[2] vs local[8]: both
     // levels sit inside the machine's linear scaling region.
-    val pLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_LO", "2").toInt
-    val pHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_HI", "8").toInt
+    val pLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_LO", "1").toInt
+    val pHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_HI", "4").toInt
     val (f8, b8, t8) = crawlRun(pLo, benchCorpus, maxBatches)
     val (f32, b32, t32) = crawlRun(pHi, benchCorpus, maxBatches)
     val thr8 = f8 / t8

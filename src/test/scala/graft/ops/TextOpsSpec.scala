@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the training-data operators (the cross-engine value
+  * parity is separately enforced by the driver's DuckDB oracle).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L), // exact dup
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s0", 43L), // near dup
+    (3L, "completely different text about gardens and rivers here", "en", "s1", 55L),
+    (4L, "le chat est sur la table et la vie est belle", "fr", "s0", 44L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("spanize: every third token is a media span; offsets are positions") {
+    val spans = TextOps.flattenSpans(TextOps.spanize(docs.filter($"doc_id" === 0)))
+      .orderBy("offset").collect()
+    assert(spans.length == 9)
+    assert(spans.map(_.getInt(1)).toSeq == (0 until 9))
+    assert(spans(2).getString(2) == "media" && spans(2).getString(3) == "")
+    assert(spans(2).getString(4).startsWith("asset://"))
+    assert(spans(0).getString(2) == "text" && spans(0).getString(3) == "the")
+    assert(spans(0).getString(4) == "")
+  }
+
+  test("dedupExact keeps min doc_id per identical text") {
+    val out = TextOps.dedupExact(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 4L)) // 1 deduped into 0
+    assert(out.head.getLong(1) == 2L) // dup_count of the duplicated text
+  }
+
+  test("minhash: identical docs share full signature; near-dups share some") {
+    val sig = TextOps.minhashSignatures(docs, 8, 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(sig(0L) == sig(1L)) // exact dup: identical signature
+    val shared02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(shared02 > 0 && shared02 < 8, s"near-dup shares some bands: $shared02")
+    assert(sig(0L) != sig(3L))
+  }
+
+  test("minhash LSH pairs surface the exact and near duplicates") {
+    val pairs = TextOps.minhashLshPairs(docs, 8, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair found: $pairs")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming distance") {
+    val sh = TextOps.simhash16(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val hamming02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hamming03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamming02 < hamming03, s"near-dup closer: $hamming02 vs $hamming03")
+  }
+
+  test("ngram jaccard: near-dup pair scored, disjoint docs absent") {
+    val pairs = TextOps.ngramJaccardPairs(docs, 3, 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine top-k: self-similar vectors rank first, ties broken by vec_id") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.95f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = TextOps.cosineTopK(emb, Seq(0L), 2).orderBy("rn").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L).take(2).updated(1, top(1).getLong(2)))
+    assert(top(0).getLong(2) == 1L) // nearest neighbour of e_x is the 0.9/0.1 vector
+  }
+
+  test("LSH buckets: identical vectors share a bucket, orthogonal ones may not") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (2L, Array(-4.0f, 3.0f, -2.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val b = TextOps.lshBuckets(emb, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("langId predicts via marker voting with 'und' fallback") {
+    val out = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "fr")
+  }
+
+  test("token stats and quality score arithmetic") {
+    val ts = TextOps.tokenStats(docs.filter($"doc_id" === 0)).collect().head
+    assert(ts.getLong(1) == 9) // tokens
+    assert(ts.getLong(2) == 43) // chars
+    val qs = TextOps.qualityScore(docs.filter($"doc_id" === 0)).collect().head
+    assert(qs.getLong(1) == 9)
+    assert(math.abs(qs.getDouble(2) - 2.0 / 9) < 1e-6) // 'the' twice
+  }
+
+  test("multimodal features carry byte metadata and stable digest") {
+    val mm = TextOps.multimodalFeatures(docs.filter($"doc_id" === 0)).collect().head
+    assert(mm.getString(1) == "application/octet-stream")
+    assert(mm.getLong(2) == 43)
+    assert(mm.getString(3) ==
+      graft.core.UrlNormalizer.sha256Hex("the quick brown fox jumps over the lazy dog"))
+  }
+}
