@@ -13,7 +13,15 @@ final case class EngineConfig(
     maxRedirects: Int = CrawlDefaults.MaxRedirects,
     maxDepth: Int = 3,
     userAgent: String = "graft-bot",
-    maxBatches: Int = 100000
+    maxBatches: Int = 100000,
+    /** Seen-set bloom prefilter (north rule): submissions that the filter
+      * proves unseen skip the dedup join entirely; possible hits go through
+      * the exact anti-join, which stays authoritative. Results are
+      * bit-identical with or without (CrawlParitySpec asserts it).
+      */
+    useBloomPrefilter: Boolean = false,
+    bloomExpectedItems: Long = 1L << 20,
+    bloomFpp: Double = 0.03
 )
 
 /** Engine-internal rows (kept flat for stable encoders). */
@@ -91,6 +99,22 @@ final class CrawlEngine(
 ) extends Serializable {
 
   import spark.implicits._
+
+  /** Seen-set bloom prefilter, maintained incrementally: built from the
+    * frontier at seed/resume, merged with each batch's inserted hashes.
+    * The real-scale layout is one filter per bucket living beside the
+    * bucket's parquet (SURVEY.md §2.9); a single driver-held filter is the
+    * sandbox-size realization of the same contract — may-contain answers
+    * only, exact anti-join remains authoritative.
+    */
+  private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+
+  private def initBloom(): Unit = if (cfg.useBloomPrefilter) {
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(cfg.bloomExpectedItems, cfg.bloomFpp)
+    frontier().select("url_hash").as[String].collect().foreach(bf.putString)
+    seenBloom = Some(bf)
+  }
 
   /** One bucket function everywhere (driver, executors, merge logic). */
   def bucketOf(host: String): Int =
@@ -208,6 +232,7 @@ final class CrawlEngine(
     writeBuckets(merged, delta, 0L)
     writeHostState(hostState(), Set.empty, 0L)
     commit()
+    initBloom() // AFTER the seed snapshot: the filter must cover every row
   }
 
   private def writeHostState(hs: Dataset[HostState], touchedHosts: Set[String],
@@ -229,6 +254,7 @@ final class CrawlEngine(
         clock = m.clock
         bucketPaths = m.buckets
         hostStatePath = m.tables.getOrElse("host_state", "")
+        initBloom()
         true
       case None => false
     }
@@ -290,15 +316,21 @@ final class CrawlEngine(
     val maxDepth = cfg.maxDepth
     val robots = robotsBc
 
-    // ---- S1 claim: top-1 per host over the eligible slice ----
+    // ---- S1 claim: top-1 per host over the eligible slice.
+    // An argmin AGGREGATION (min_by over the claim-order tuple) rather than
+    // a window row_number: hash aggregation does map-side partial combine,
+    // so a skewed host with 10^7 eligible rows reduces locally on every
+    // partition before the shuffle — the window form would sort that
+    // host's entire row set in one task. ----
     val eligible = withReady
       .filter($"next_fetch_at" <= now && $"host_ready" <= now)
       .drop("host_ready", "ready_at", "last_fetch_at", "min_delay_ms")
-    val w = Window.partitionBy($"host")
-      .orderBy(desc("priority"), asc("next_fetch_at"), asc("url_hash"))
+    val fields = frontierSchema.fieldNames
     val claims: Dataset[FrontierUrl] = eligible
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1).drop("rn")
+      .groupBy($"host".as("claim_host"))
+      .agg(min_by(struct(fields.map(col): _*),
+        struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"))
+      .select($"top.*")
       .as[FrontierUrl]
       .localCheckpoint() // truncate lineage: every downstream plan reuses this
 
@@ -488,6 +520,12 @@ final class CrawlEngine(
       .select(frontierSchema.fieldNames.map(col): _*)
       .as[FrontierUrl].union(updates)
     val merged = mergeSubmissions(f1, submissions).persist()
+    // keep the prefilter in sync with this batch's inserts + re-keys
+    seenBloom.foreach { bf =>
+      merged.filter(_._2 == "insert").map(_._1.url_hash).collect()
+        .foreach(bf.putString)
+      rekeyOk.values.foreach(c => bf.putString(c.newHash))
+    }
     val f2 = merged.map(_._1)
 
     // ---- per-bucket lineage (north rule) + delta buckets from TWO tiny
@@ -550,6 +588,7 @@ final class CrawlEngine(
       subs: Dataset[SubRow]
   ): Dataset[(FrontierUrl, String)] = {
     val nb = cfg.numBuckets
+    val bloomBc = seenBloom.map(spark.sparkContext.broadcast(_))
     val subAgg: Dataset[SubFirst] = subs
       .map(r => (r.s.url_hash, r.s.priority, r.s.next_fetch_at, r.negPrio,
         r.nfa, r.claimHash, r.li, r.s.url, r.s.host, r.s.source_id,
@@ -572,7 +611,22 @@ final class CrawlEngine(
       .map(s => s.copy(bucket = (MurmurHash3.stringHash(s.host) & 0x7fffffff) % nb))
 
     val now = clock
-    f1.joinWith(subAgg, f1("url_hash") === subAgg("url_hash"), "full_outer")
+    // bloom split: definitely-new submissions bypass the dedup join —
+    // that join's probe side shrinks to the maybe-seen subset
+    val (subJoin, subFresh) = bloomBc match {
+      case Some(bf) =>
+        (subAgg.filter(s => bf.value.mightContainString(s.url_hash)),
+          subAgg.filter(s => !bf.value.mightContainString(s.url_hash)))
+      case None => (subAgg, spark.emptyDataset[SubFirst])
+    }
+    val freshInserts = subFresh.map { s =>
+      (FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
+        s.parent_url, s.depth, s.priority, FrontierStatus.Pending,
+        s.next_fetch_at, None, 0, None, None, None, 0, None,
+        s.next_fetch_at, now, now, s.bucket), "insert")
+    }
+    freshInserts.union(
+      f1.joinWith(subJoin, f1("url_hash") === subJoin("url_hash"), "full_outer")
       .map { case (fOrNull, sOrNull) =>
         (Option(fOrNull), Option(sOrNull)) match {
           case (Some(f), Some(s)) =>
@@ -589,6 +643,6 @@ final class CrawlEngine(
               s.next_fetch_at, now, now, s.bucket), "insert")
           case (None, None) => sys.error("unreachable full-outer row")
         }
-      }
+      })
   }
 }

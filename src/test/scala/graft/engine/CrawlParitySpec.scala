@@ -140,6 +140,21 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(engineState(e3) == engineState(e1))
   }
 
+  test("bloom seen-set prefilter changes nothing: identical state + claims") {
+    val p = CorpusParams(numHosts = 5, pagesPerHost = 6, skewHosts = 1,
+      skewFactor = 2, outdegree = 3)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    val base = EngineConfig(numBuckets = 8, maxDepth = 8)
+    val (eOff, _) = runBoth(pages, robots, seeds, base)
+    val eOn = mkEngine(pages, robots, base.copy(useBloomPrefilter = true))
+    eOn.seed(seeds)
+    eOn.runDrain()
+    assert(engineClaims(eOn) == engineClaims(eOff), "claim logs")
+    assert(engineState(eOn) == engineState(eOff), "frontier state")
+  }
+
   test("lineage: per-partition metrics recorded every batch") {
     val (pages, robots, seeds) = Corpus.fixtureNewsSite()
     val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)

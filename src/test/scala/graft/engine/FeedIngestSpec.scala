@@ -1,0 +1,104 @@
+package graft.engine
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FeedIngestSpec extends AnyFunSuite {
+  private val now = CrawlDefaults.VirtualEpochMs
+  private def freshState = FeedPollState("s1", "", 0, 0, "", 0L)
+
+  private val rss =
+    """<?xml version="1.0"?>
+      |<rss version="2.0"><channel>
+      |  <title>Feed</title><link>https://site.example/</link>
+      |  <item><title>A</title><link>https://site.example/news/a-story</link></item>
+      |  <item><title>B</title><link> https://site.example/news/b-story </link></item>
+      |</channel></rss>""".stripMargin
+
+  private val atom =
+    """<?xml version="1.0"?>
+      |<feed xmlns="http://www.w3.org/2005/Atom">
+      |  <title>F</title>
+      |  <entry><link href="https://site.example/posts/one"/></entry>
+      |  <entry><link href="https://site.example/posts/two"/></entry>
+      |</feed>""".stripMargin
+
+  private val sitemap =
+    """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc>https://site.example/p/1</loc><lastmod>2024-01-01</lastmod></url>
+      |  <url><loc>https://site.example/p/2</loc></url>
+      |</urlset>""".stripMargin
+
+  private val sitemapIndex =
+    """<?xml version="1.0"?>
+      |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <sitemap><loc>https://site.example/sitemap1.xml</loc></sitemap>
+      |  <sitemap><loc>https://site.example/sitemap2.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+
+  test("RSS item links parsed in order (feed/parser.go:26-60)") {
+    assert(FeedIngest.parseFeedLinks(rss) == Right(Seq(
+      "https://site.example/news/a-story", "https://site.example/news/b-story")))
+  }
+
+  test("Atom entry link hrefs parsed") {
+    assert(FeedIngest.parseFeedLinks(atom) == Right(Seq(
+      "https://site.example/posts/one", "https://site.example/posts/two")))
+  }
+
+  test("sitemap urlset and sitemapindex parsed (feed/sitemap.go:49-130)") {
+    assert(FeedIngest.parseSitemap(sitemap) ==
+      Right((Seq("https://site.example/p/1", "https://site.example/p/2"), Nil)))
+    assert(FeedIngest.parseSitemap(sitemapIndex) ==
+      Right((Nil, Seq("https://site.example/sitemap1.xml",
+        "https://site.example/sitemap2.xml"))))
+  }
+
+  test("feed items submit at priority 7, sitemap at 6 (domain/frontier.go:29-34)") {
+    val (subs, st) = FeedIngest.poll(
+      FeedRow("s1", "https://site.example/feed.xml", rss, "", 200, "rss"),
+      freshState, now)
+    assert(subs.map(_.priority).distinct == Seq(7))
+    assert(subs.map(_.origin).distinct == Seq(FrontierOrigin.Feed))
+    assert(subs.head.url == "https://site.example/news/a-story")
+    assert(st.last_item_count == 2 && st.consecutive_errors == 0)
+
+    val (smSubs, _) = FeedIngest.poll(
+      FeedRow("s1", "https://site.example/sitemap.xml", sitemap, "", 200, "sitemap"),
+      freshState, now)
+    assert(smSubs.map(_.priority).distinct == Seq(6))
+    assert(smSubs.map(_.origin).distinct == Seq(FrontierOrigin.Sitemap))
+  }
+
+  test("conditional GET: unchanged etag skips items (poller.go:109-122)") {
+    val feed = FeedRow("s1", "u", rss, "W/\"v1\"", 200, "rss")
+    val (subs1, st1) = FeedIngest.poll(feed, freshState, now)
+    assert(subs1.size == 2 && st1.last_etag == "W/\"v1\"")
+    val (subs2, st2) = FeedIngest.poll(feed, st1.copy(next_poll_at = 0L), now)
+    assert(subs2.isEmpty && st2.consecutive_errors == 0)
+  }
+
+  test("rate-limit backoff: LEAST(2^errors,96)*5min (feed_state_repository.go:76-78)") {
+    assert(FeedIngest.backoffMs(1) == 2 * 5 * 60000L)
+    assert(FeedIngest.backoffMs(3) == 8 * 5 * 60000L)
+    assert(FeedIngest.backoffMs(20) == 96 * 5 * 60000L)
+    val limited = FeedRow("s1", "u", rss, "", 429, "rss")
+    val (subs, st) = FeedIngest.poll(limited, freshState, now)
+    assert(subs.isEmpty)
+    assert(st.last_error_type == "rate_limited")
+    assert(st.next_poll_at == now + 2 * 5 * 60000L)
+  }
+
+  test("http and parse errors classified with backoff, not-due feeds skipped") {
+    val (s1, st1) = FeedIngest.poll(FeedRow("s1", "u", rss, "", 500, "rss"),
+      freshState, now)
+    assert(s1.isEmpty && st1.last_error_type == "http_error")
+    val (s2, st2) = FeedIngest.poll(FeedRow("s1", "u", "<rss><broken", "", 200, "rss"),
+      freshState, now)
+    assert(s2.isEmpty && st2.last_error_type == "parse_error")
+    val (s3, st3) = FeedIngest.poll(FeedRow("s1", "u", rss, "", 200, "rss"),
+      freshState.copy(next_poll_at = now + 1), now)
+    assert(s3.isEmpty && st3 == freshState.copy(next_poll_at = now + 1))
+  }
+}
