@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.corpus.Corpus
 import graft.engine.{CrawlEngine, EngineConfig}
-import graft.functions.UrlUdfs
+import graft.functions.{UrlExpressions, UrlUdfs}
 import graft.ops.TextOps
 import graft.state.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -120,17 +120,17 @@ object SparkEntry {
     // ---- canonicalization (SURVEY §2.1) through the real normalizer ----
     "q11_normalize_url" -> ((s, d) =>
       t(s, d, "part").select(col("p_partkey"),
-        UrlUdfs.normalize_url(dirtyUrl).as("normalized"))
+        UrlExpressions.normalize_url_native(dirtyUrl).as("normalized"))
         .orderBy("p_partkey")),
 
     "q12_url_hash" -> ((s, d) =>
       t(s, d, "part").select(col("p_partkey"),
-        UrlUdfs.url_hash(dirtyUrl).as("h"))
+        UrlExpressions.url_hash_native(dirtyUrl).as("h"))
         .orderBy("p_partkey")),
 
     "q13_extract_host" -> ((s, d) =>
       t(s, d, "part").select(col("p_partkey"),
-        UrlUdfs.extract_host(dirtyHostUrl).as("host"))
+        UrlExpressions.extract_host_native(dirtyHostUrl).as("host"))
         .orderBy("p_partkey")),
 
     // ---- graft span shape (input_hint) ----

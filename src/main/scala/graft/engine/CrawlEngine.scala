@@ -185,6 +185,36 @@ final class CrawlEngine(
     if (hostStatePath.isEmpty) spark.emptyDataset[HostState]
     else spark.read.parquet(hostStatePath).as[HostState]
 
+  /** R2: frontier counts by status (frontier_repository.go:444-468). */
+  def frontierStats(): Map[String, Long] =
+    frontier().groupByKey(_.status).count().collect().toMap
+
+  /** R1: dashboard list — dynamic filters, ILIKE-style search, whitelisted
+    * sort column, limit/offset (frontier_repository.go:315-432).
+    */
+  def frontierList(
+      status: Option[String] = None,
+      sourceId: Option[String] = None,
+      host: Option[String] = None,
+      origin: Option[String] = None,
+      search: Option[String] = None,
+      sortBy: String = "priority",
+      limit: Int = 50,
+      offset: Int = 0): Dataset[FrontierUrl] = {
+    val sortCol = // whitelist-validated, like the reference
+      if (Seq("priority", "next_fetch_at", "created_at").contains(sortBy)) sortBy
+      else "priority"
+    var df = frontier().toDF()
+    status.foreach(v => df = df.filter($"status" === v))
+    sourceId.foreach(v => df = df.filter($"source_id" === v))
+    host.foreach(v => df = df.filter($"host" === v))
+    origin.foreach(v => df = df.filter($"origin" === v))
+    search.foreach(v => df = df.filter(lower($"url").contains(v.toLowerCase)))
+    df.orderBy(desc(sortCol), asc("url_hash")) // deterministic tie-break
+      .offset(math.max(offset, 0)).limit(math.max(limit, 0))
+      .as[FrontierUrl]
+  }
+
   def claimLog(): DataFrame = readAppendTable("claim_log")
   def lineage(): DataFrame = readAppendTable("lineage")
   def docs(): DataFrame = readAppendTable("docs")
