@@ -93,6 +93,58 @@ final class SnapshotStore(rootDir: String) {
     else Some(parse(Files.readString(manifests.maxBy(_.getFileName.toString))))
   }
 
+  /** Iceberg-style snapshot expiry: keep the last `keepLast` manifests,
+    * delete older manifests plus any STATE data dirs (frontier buckets /
+    * host_state) no kept manifest references — carry-forward means an old
+    * version's file can still be live, so liveness is computed from the
+    * kept manifests, never from age. Append-only outputs (claim_log, docs,
+    * lineage) are products of the crawl, not state, and are never touched.
+    */
+  def vacuum(keepLast: Int): Int = {
+    val manifests = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest_")).toSeq
+      .sortBy(_.getFileName.toString)
+    if (manifests.size <= keepLast) return 0
+    val (drop, keep) = manifests.splitAt(manifests.size - keepLast)
+    val live: Set[String] = keep.flatMap { p =>
+      val m = parse(Files.readString(p))
+      m.buckets.values.map(v => Paths.get(v).normalize.toString) ++
+        m.tables.values.map(v => Paths.get(v).normalize.toString)
+    }.toSet
+    var removed = 0
+    val dataDir = root.resolve("data")
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+      val name = d.getFileName.toString
+      val isState = name.startsWith("frontier_v") || name.startsWith("host_state_v")
+      if (isState) {
+        // a frontier_v dir is live if any of its bucket subdirs is live
+        val subLive =
+          if (name.startsWith("frontier_v"))
+            Files.list(d).iterator().asScala.exists(sub =>
+              live.contains(sub.normalize.toString))
+          else live.contains(d.normalize.toString)
+        if (!subLive) { deleteRecursively(d); removed += 1 }
+        else if (name.startsWith("frontier_v")) {
+          // prune dead bucket subdirs inside partially-live versions
+          Files.list(d).iterator().asScala.toSeq.foreach { sub =>
+            if (sub.getFileName.toString.startsWith("bucket=") &&
+              !live.contains(sub.normalize.toString)) {
+              deleteRecursively(sub); removed += 1
+            }
+          }
+        }
+      }
+    }
+    drop.foreach(Files.delete)
+    removed
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+
   /** Drop snapshots after batchId (used by tests to simulate a crash). */
   def truncateAfter(batchId: Long): Unit =
     Files.list(root).iterator().asScala
