@@ -88,8 +88,13 @@ object Bench {
     // levels sit inside the machine's linear scaling region.
     val pLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_LO", "1").toInt
     val pHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_HI", "4").toInt
-    val (f8, b8, t8) = crawlRun(pLo, benchCorpus, maxBatches)
-    val (f32, b32, t32) = crawlRun(pHi, benchCorpus, maxBatches)
+    // best-of-N wall per level: the VM has heavy external load (BASELINE.md),
+    // so min wall is the least-noise estimator of the engine's own cost
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    def bestOf(p: Int) =
+      (1 to repeats).map(_ => crawlRun(p, benchCorpus, maxBatches)).minBy(_._3)
+    val (f8, b8, t8) = bestOf(pLo)
+    val (f32, b32, t32) = bestOf(pHi)
     val thr8 = f8 / t8
     val thr32 = f32 / t32
     val efficiency = (thr32 / thr8) / (pHi.toDouble / pLo)

@@ -365,13 +365,18 @@ final class CrawlEngine(
       .localCheckpoint() // truncate lineage: every downstream plan reuses this
 
     // claim log (the crawl-ordering trace; in-batch order = the defined
-    // tuple, so no global sort is materialized here)
-    timed("claim_log") {
+    // tuple, so no global sort is materialized here). Sink writes that are
+    // independent of the merge path run as concurrent Spark jobs and are
+    // awaited before the snapshot commit.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val claimLogF = Future(timed("claim_log") {
       claims.map { r =>
         ClaimLogEntry(bid, r.url_hash, r.url, r.host, r.priority, r.next_fetch_at)
       }.toDF().write.mode("overwrite")
         .parquet(store.dataPath(s"claim_log_v$bid"))
-    }
+    })
 
     // ---- X2 robots gate (before fetch; blocked rows never touch the host)
     //      + X3 redirect-chain resolution (fetcher/redirect.go:16-23) in one
@@ -509,13 +514,13 @@ final class CrawlEngine(
       }
     }.localCheckpoint()
 
-    // ---- docs sink (ES-index analog; op: one doc per fetched 200 page) ----
-    timed("docs_write") {
+    // ---- docs sink (ES-index analog; one doc per fetched 200 page) ----
+    val docsF = Future(timed("docs_write") {
       resolved.filter(o => o.docId.nonEmpty)
         .map(o => (o.docId, o.claim.url, o.spans, bid))
         .toDF("doc_id", "url", "spans", "batch_id")
         .write.mode("overwrite").parquet(store.dataPath(s"docs_v$bid"))
-    }
+    })
 
     // ---- F3 link discovery → submissions ----
     val submissions: Dataset[SubRow] = resolved.flatMap { o =>
@@ -602,6 +607,9 @@ final class CrawlEngine(
       .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
     timed("host_write") { writeHostState(newHs, Set.empty, bid) }
 
+    // all sinks must be durable before the snapshot pointer moves
+    Await.result(claimLogF, Duration.Inf)
+    Await.result(docsF, Duration.Inf)
     commit()
     merged.unpersist()
   }
