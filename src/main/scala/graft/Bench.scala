@@ -77,7 +77,7 @@ object Bench {
     spark.stop()
 
     // ---- 2) crawl scaling: identical job + input, local[8] vs local[32] ----
-    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "150000").toInt
+    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "100000").toInt
     val benchCorpus = CorpusParams(numHosts = benchHosts, pagesPerHost = 2,
       skewHosts = 1, skewFactor = 5, outdegree = 2)
     val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "3").toInt
