@@ -46,8 +46,10 @@ object Bench {
         .mapPartitions(it => it.map(i => Corpus.pageAt(p, i)))
       val robots = Corpus.robots(p)
       val seeds = Corpus.seeds(p)
+      val shmRoot = java.nio.file.Paths.get("/dev/shm/graft")
+      java.nio.file.Files.createDirectories(shmRoot)
       val store = new SnapshotStore(
-        java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm/graft"), s"graft-bench-$cpus").toString)
+        java.nio.file.Files.createTempDirectory(shmRoot, s"graft-bench-$cpus").toString)
       val engine = new CrawlEngine(spark, store, pages, robots,
         EngineConfig(numBuckets = 32, maxDepth = 2, maxBatches = maxBatches))
       engine.warmCorpus() // corpus generation = the "web", not crawl work

@@ -65,7 +65,10 @@ object SparkEntry {
         .groupBy(col("n_name").as("nation"))
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("c_mktsegment")).as("nseg"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"),
+          // declared result type decimal(38,2) on BOTH sides: Spark widens a
+          // sum(decimal(18,2)) to (28,2), DuckDB to (38,2) — same values,
+          // different physical type, and the driver's hash compare sees it
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("bal"),
           round(sum(when(col("c_acctbal") > 0, 1).otherwise(0)) /
             count(lit(1)).cast("double"), 6).as("pos_ratio"))
         .filter(col("cnt") > 10)
@@ -190,7 +193,7 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).as("val"))
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("val"))
         .select(col("w.start").as("wstart"), col("cnt"), col("val"))
         .orderBy("wstart")),
 
@@ -204,7 +207,7 @@ object SparkEntry {
       t(s, d, "events").groupBy("event_type")
         .agg(count(when(col("value") > 50, 1)).as("completed"),
           count(when(col("value") <= 50, 1)).as("failed"),
-          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
         .orderBy("event_type")),
 
     // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----

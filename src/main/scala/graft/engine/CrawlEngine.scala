@@ -185,9 +185,12 @@ final class CrawlEngine(
     if (hostStatePath.isEmpty) spark.emptyDataset[HostState]
     else spark.read.parquet(hostStatePath).as[HostState]
 
-  /** R2: frontier counts by status (frontier_repository.go:444-468). */
+  /** R2: frontier counts by status (frontier_repository.go:444-468).
+    * Untyped groupBy so the scan prunes to the one column it needs.
+    */
   def frontierStats(): Map[String, Long] =
-    frontier().groupByKey(_.status).count().collect().toMap
+    frontier().groupBy("status").count()
+      .as[(String, Long)].collect().toMap
 
   /** R1: dashboard list — dynamic filters, ILIKE-style search, whitelisted
     * sort column, limit/offset (frontier_repository.go:315-432).
@@ -234,8 +237,15 @@ final class CrawlEngine(
     touched.repartition(math.max(1, deltaBuckets.size), $"bucket")
       .sortWithinPartitions(desc("priority"), asc("next_fetch_at"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // manifest: delta buckets point at the new files, others carry forward
-    bucketPaths = bucketPaths ++ deltaBuckets.map(b => b -> s"$path/bucket=$b")
+    // manifest: delta buckets point at the new files, others carry forward.
+    // A delta bucket that ended the batch EMPTY (e.g. its only row re-keyed
+    // to a host in another bucket) produced no bucket=b dir — it must be
+    // DROPPED from the manifest, not pointed at a missing path (and its old
+    // file is stale, so carrying it forward would resurrect dead rows).
+    val written = deltaBuckets.filter(b =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, s"bucket=$b")))
+    bucketPaths = (bucketPaths -- deltaBuckets) ++
+      written.map(b => b -> s"$path/bucket=$b")
   }
 
   private lazy val frontierNoBucketSchema = org.apache.spark.sql.types.StructType(
@@ -554,12 +564,16 @@ final class CrawlEngine(
     val f1 = f0.join(claimedKeys, Seq("url_hash"), "left_anti")
       .select(frontierSchema.fieldNames.map(col): _*)
       .as[FrontierUrl].union(updates)
+    // Re-keyed hashes enter the bloom BEFORE the merge: the filter must be
+    // a superset of f1's url_hashes when mergeSubmissions broadcasts it, or
+    // a same-batch submission matching a just-re-keyed final URL would test
+    // "definitely unseen" and insert a duplicate row beside the re-keyed one.
+    seenBloom.foreach { bf => rekeyOk.values.foreach(c => bf.putString(c.newHash)) }
     val merged = mergeSubmissions(f1, submissions).persist()
-    // keep the prefilter in sync with this batch's inserts + re-keys
+    // keep the prefilter in sync with this batch's inserts
     seenBloom.foreach { bf =>
       merged.filter(_._2 == "insert").map(_._1.url_hash).collect()
         .foreach(bf.putString)
-      rekeyOk.values.foreach(c => bf.putString(c.newHash))
     }
     val f2 = merged.map(_._1)
 

@@ -75,5 +75,8 @@ object Discovery {
     */
   def countByOriginSince(frontier: Dataset[FrontierUrl], origin: String,
       sinceMs: Long): Long =
-    frontier.filter(r => r.origin == origin && r.discovered_at >= sinceMs).count()
+    // column predicates (not a typed lambda) so both reach the parquet scan
+    // as PushedFilters and the scan prunes to two columns
+    frontier.filter(col("origin") === origin && col("discovered_at") >= sinceMs)
+      .count()
 }

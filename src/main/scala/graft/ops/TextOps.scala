@@ -56,9 +56,14 @@ object TextOps {
     * text hash, never a driver collect).
     */
   def dedupExact(docs: DataFrame): DataFrame = {
-    val canon = docs.groupBy(col("text"))
+    // group/join on a 256-bit digest of the text, never the text itself:
+    // at 100 TB the shuffle ships 32-byte keys instead of multi-KB bodies
+    // (collision probability of sha-256 is below the cluster's bit-flip
+    // rate, so equality-on-hash is equality).
+    val keyed = docs.select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+    val canon = keyed.groupBy(col("tkey"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
-    docs.join(canon, "text")
+    keyed.join(canon, "tkey")
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"), col("dup_count"))
   }

@@ -155,6 +155,59 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(engineState(eOn) == engineState(eOff), "frontier state")
   }
 
+  /** Minimal hand-built page for targeted scenarios. */
+  private def pg(host: String, path: String, status: Int, redir: String,
+      links: Seq[String]): PageRow = {
+    val url = Corpus.canonicalUrl(host, path)
+    PageRow(UrlNormalizer.sha256Hex(url), url, UrlNormalizer.sha256Hex(url),
+      host, status, redir, "text/html; charset=utf-8", "", extract_ok = true,
+      Seq(Span("text", s"page $path", "", 0)), links)
+  }
+
+  test("bloom stays superset when a re-key and a matching link land in one batch") {
+    // A:/r 301→A:/t re-keys in batch 1; B:/ links to A:/t in the SAME
+    // batch. The re-keyed hash must enter the bloom before the merge or the
+    // submission tests "definitely unseen" and inserts a duplicate row.
+    val hA = "rk-a.example.org"; val hB = "rk-b.example.org"
+    val pages = Seq(
+      pg(hA, "/r", 301, Corpus.canonicalUrl(hA, "/t"), Nil),
+      pg(hA, "/t", 200, "", Nil),
+      pg(hB, "/", 200, "", Seq(Corpus.canonicalUrl(hA, "/t"))))
+    val seeds = Seq(Seed(Corpus.canonicalUrl(hA, "/r"), "s1"),
+      Seed(Corpus.canonicalUrl(hB, "/"), "s2"))
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 3)
+    val (eOff, o) = runBoth(pages, Nil, seeds, cfg)
+    val eOn = mkEngine(pages, Nil, cfg.copy(useBloomPrefilter = true))
+    eOn.seed(seeds)
+    eOn.runDrain()
+    compareAll(eOn, o)
+    assert(engineClaims(eOn) == engineClaims(eOff), "claim logs (no re-crawl)")
+    assert(engineState(eOn) == engineState(eOff), "frontier state")
+    val hashes = eOn.frontier().collect().map(_.url_hash).toSeq
+    assert(hashes.length == hashes.distinct.length, "no duplicate url_hash")
+  }
+
+  test("re-key drains a bucket: manifest drops it instead of a missing path") {
+    // host X's ONLY frontier row re-keys to host Y in a different bucket:
+    // bucket(X) ends the batch with zero rows and no bucket=b output dir.
+    val nb = 64
+    def bOf(h: String) =
+      (scala.util.hashing.MurmurHash3.stringHash(h) & 0x7fffffff) % nb
+    val hY = "mv-target.example.org"
+    val hX = (0 to 1000).map(k => s"mv-src$k.example.org")
+      .find(h => bOf(h) != bOf(hY)).get
+    val pages = Seq(
+      pg(hX, "/moved", 301, Corpus.canonicalUrl(hY, "/new-home"), Nil),
+      pg(hY, "/", 200, "", Nil),
+      pg(hY, "/new-home", 200, "", Nil))
+    val seeds = Seq(Seed(Corpus.canonicalUrl(hX, "/moved"), "s1"),
+      Seed(Corpus.canonicalUrl(hY, "/"), "s2"))
+    val cfg = EngineConfig(numBuckets = nb, maxDepth = 3)
+    val (e, o) = runBoth(pages, Nil, seeds, cfg) // crashes on read if stale
+    compareAll(e, o)
+    assert(e.frontier().collect().forall(_.status == FrontierStatus.Fetched))
+  }
+
   test("lineage: per-partition metrics recorded every batch") {
     val (pages, robots, seeds) = Corpus.fixtureNewsSite()
     val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)
