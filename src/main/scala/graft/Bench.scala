@@ -76,6 +76,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // ANN quality: recall@10 of the LSH-bucket path vs the exact baseline
+    // (the quantity the (tables, planes) trade-off is spent on).
+    val recall = if (skipQueries) Nil else {
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val qids = (0L until 20L).toSeq
+        def pairs(df: org.apache.spark.sql.DataFrame) = df
+          .select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(graft.ops.TextOps.cosineTopK(emb, qids, 10))
+        // operating point: 8 tables × 4 planes — candidate sets ~N/16 per
+        // table, the recall-vs-cost trade a real deployment would start at
+        val ann = pairs(graft.ops.TextOps.annLshTopK(emb, qids, 10,
+          planes = 4, tables = 8))
+        Seq("ann_recall_at_10" ->
+          (if (exact.isEmpty) 0.0 else ann.intersect(exact).size.toDouble / exact.size))
+      } catch { case _: Throwable => Seq("ann_recall_at_10" -> -1.0) }
+    }
     spark.stop()
 
     // ---- 2) crawl scaling: identical job + input, local[8] vs local[32] ----
@@ -101,7 +119,7 @@ object Bench {
     val thr32 = f32 / t32
     val efficiency = (thr32 / thr8) / (pHi.toDouble / pLo)
 
-    val qs = (results ++ Seq(
+    val qs = (results ++ recall ++ Seq(
       s"crawl_p${pLo}_urls_per_sec" -> thr8,
       s"crawl_p${pHi}_urls_per_sec" -> thr32,
       "crawl_scaling_efficiency" -> efficiency,

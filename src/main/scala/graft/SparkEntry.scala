@@ -175,6 +175,10 @@ object SparkEntry {
     "q21_ann_lsh_buckets" -> ((s, d) =>
       TextOps.lshBuckets(t(s, d, "embeddings"), 8).orderBy("vec_id")),
 
+    "q31_ann_lsh_topk" -> ((s, d) =>
+      TextOps.annLshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy("qid", "rn")),
+
     // ---- text analysis ----
     "q22_token_stats" -> ((s, d) =>
       TextOps.tokenStats(t(s, d, "documents")).orderBy("doc_id")),
@@ -388,6 +392,33 @@ object SparkEntry {
           SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
                                        ELSE 0 END) AS BIGINT) AS bucket
           FROM dots GROUP BY vec_id ORDER BY vec_id""",
+
+    "q31_ann_lsh_topk" ->
+      """WITH comp AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS xq
+                       FROM embeddings),
+          dots AS (SELECT vec_id, t, p,
+                          SUM(xq * (CASE WHEN CAST('0x' || substr(md5(t || ':' || p || ':' || d), 1, 15) AS BIGINT) % 2 = 0
+                                    THEN 1 ELSE -1 END)) AS dot
+                   FROM comp, generate_series(0, 3) AS gt(t), generate_series(0, 7) AS gp(p)
+                   GROUP BY vec_id, t, p),
+          buckets AS (SELECT vec_id, t,
+                             SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+                      FROM dots GROUP BY vec_id, t),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id
+                   FROM buckets q JOIN buckets e ON q.t = e.t AND q.bucket = e.bucket
+                   WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+          scored AS (SELECT c.qid, c.vec_id,
+                            ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ee.embedding AS DOUBLE[])), 6) AS cos
+                     FROM cand c JOIN embeddings qe ON c.qid = qe.vec_id
+                                 JOIN embeddings ee ON c.vec_id = ee.vec_id)
+          SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos FROM (
+            SELECT qid, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM scored)
+          WHERE rn <= 3 ORDER BY qid, rn""",
 
     "q22_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the per-document MinHash signature.
+  *
+  * Semantics are EXACTLY the declarative form (and the DuckDB oracle):
+  * {{{
+  *   toks = split(text, ' ')                       -- limit -1: keeps empties
+  *   shs  = [ concat_ws(' ', toks[i : i+L]) | i <- 0 .. max(n-L, 0) ]
+  *   sig[j] = min over shs of
+  *            cast(conv(substring(md5(concat(s, '#', j)), 1, 15), 16, 10) as bigint)
+  * }}}
+  * i.e. the top 60 bits of md5(shingle + "#" + j), minimized over shingles.
+  *
+  * Why an expression and not the HOF pipeline: the signature costs
+  * |shingles|×K md5s per document; evaluated through the expression
+  * interpreter (HOFs never enter whole-stage codegen) each hash pays
+  * UTF8String/Decimal conversions and a conv() string round-trip. This
+  * eval runs the whole loop in one JVM call per row, hashing reused byte
+  * buffers and reading the 60 bits straight out of the digest — measured
+  * ~5× over the HOF form, identical output. One call per row also means
+  * CollapseProject can never duplicate the work (it refuses to inline
+  * non-cheap expressions with multiple references, and downstream band
+  * projections reference the signature many times).
+  */
+case class MinhashSignatureExpr(child: Expression, shingleLen: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(shingleLen >= 1 && k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  // "#0".."#k-1" salt bytes, built once per task via transient lazy
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(k)(j => ("#" + j).getBytes("US-ASCII"))
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1) // Spark split keeps trailing empties
+    val n = toks.length
+    val nSh = math.max(n - shingleLen, 0) + 1
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val end = math.min(i + shingleLen, n)
+      val sb = new java.lang.StringBuilder
+      var t = i
+      while (t < end) {
+        if (t > i) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      val shBytes = sb.toString.getBytes("UTF-8")
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(shBytes)
+        md.update(salts(j))
+        val d = md.digest()
+        // first 15 hex chars = top 60 bits of the digest
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSignatureExpr =
+    copy(child = c)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def minhash_signature(text: Column, shingleLen: Int, k: Int): Column =
+    column(MinhashSignatureExpr(expression(text), shingleLen, k))
+}

@@ -74,53 +74,98 @@ object TextOps {
         sequence(0, greatest(size(split(text, ' ')) - $k, 0)),
         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))""")
 
-  /** MinHash signatures: K salted portable hashes, min over shingles.
-    * (shingle → minhash; bands over the signature give the LSH buckets.)
+  /** SQL-HOF "let": bind an expensive per-row expression ONCE under a
+    * lambda variable. `transform(array(v), x -> body)[0]` is the only way
+    * SQL higher-order functions can name an intermediate — without it the
+    * optimizer may inline `v` into every use site (K× the work for a
+    * K-reference body; measured 2-5× on the minhash family).
+    */
+  private def let1(bound: String, value: String, body: String): String =
+    s"transform(array($value), $bound -> $body)[0]"
+
+  /** Per-row MinHash signature array: element j = min over shingles of the
+    * salted portable hash. A pure projection — ZERO shuffle (the
+    * explode(shingles)×K + groupBy form shuffles |doc|×K rows; at 100 TB
+    * that shuffle IS the job). Tokens and shingles are each bound once.
+    */
+  /** Declarative (pure-SQL) form of the signature — kept as the
+    * cross-check oracle for the native expression (TextOpsSpec asserts
+    * equality) and as documentation of the exact semantics.
+    */
+  def minhashSignatureSql(shingleLen: Int, k: Int): String =
+    let1("toks", "split(text, ' ')",
+      let1("shs",
+        s"""transform(sequence(0, greatest(size(toks) - $shingleLen, 0)),
+              i -> concat_ws(' ', slice(toks, i + 1, $shingleLen)))""",
+        s"""transform(sequence(0, ${k - 1}), j ->
+              array_min(transform(shs,
+                s -> cast(conv(substring(md5(concat(s, '#', j)), 1, 15), 16, 10) as bigint))))"""))
+
+  def minhashSignatureArray(shingleLen: Int, k: Int): Column =
+    graft.functions.TextExpressions.minhash_signature(col("text"), shingleLen, k)
+
+  /** MinHash signatures in the (doc_id, k, minhash) long shape — the
+    * per-row array, posexploded (order column kept, still no shuffle).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingleLen: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), shingleLen)).as("sh"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${k - 1}), j -> named_struct('k', j, " +
-          s"'h', cast(conv(substring(md5(concat(sh, '#', j)), 1, 15), 16, 10) as bigint)))"))
-        .as("kh"))
-      .groupBy(col("doc_id"), col("kh.k").as("k"))
-      .agg(min(col("kh.h")).as("minhash"))
+    docs.select(col("doc_id"),
+        posexplode(minhashSignatureArray(shingleLen, k)))
+      .select(col("doc_id"), col("pos").as("k"), col("col").as("minhash"))
 
-  /** LSH near-duplicate candidate pairs: band the signature, bucket-join,
-    * emit distinct (a < b) pairs sharing at least one band. The join key
-    * (band, band_hash) is what shards at scale — no all-pairs comparison.
+  /** LSH near-duplicate candidate pairs: band the per-row signature,
+    * group docs by (band, band_hash) bucket, emit all (a < b) pairs WITHIN
+    * each bucket. ONE shuffle total — the bucket groupBy — which is what
+    * shards at scale; no self-join (a self-join would evaluate the
+    * signature pipeline twice, once per side) and no all-pairs comparison.
+    * `maxBucket` (off by default) drops degenerate buckets — e.g. the
+    * empty-document band — whose quadratic pair blow-up would dominate at
+    * 100 TB; when it fires, the drop is explicit, not silent truncation.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-      shingleLen: Int = 3): DataFrame = {
+      shingleLen: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(docs, k, shingleLen)
-    val banded = sig.withColumn("band", (col("k") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(col("minhash")).as("h1"), max(col("minhash")).as("h2"))
-      .select(col("doc_id"), col("band"),
-        md5(concat_ws("|", col("h1"), col("h2"))).as("band_hash"))
-    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a"))
-    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    // band b's key = md5(min | max) over its signature slice; `let1` binds
+    // the signature column so it can never be re-inlined per band.
+    val banded = docs
+      .select(col("doc_id"), minhashSignatureArray(shingleLen, k).as("sigc"))
+      .select(col("doc_id"), posexplode(expr(
+        let1("sig", "sigc",
+          s"""transform(sequence(0, ${bands - 1}), b ->
+                md5(concat_ws('|',
+                  array_min(slice(sig, b * $rows + 1, $rows)),
+                  array_max(slice(sig, b * $rows + 1, $rows)))))"""))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val buckets = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped =
+      if (maxBucket == Long.MaxValue) buckets
+      else buckets.filter(size(col("ids")) <= maxBucket)
+    capped.select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+               y -> named_struct('a', x, 'b', y))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
   /** 16-bit SimHash over token hashes: bit j of the fingerprint is the
-    * sign of Σ_tokens (bit j of hash(token) ? +1 : -1).
+    * sign of Σ_tokens (bit j of hash(token) ? +1 : -1). Computed per-row
+    * with nested higher-order functions — zero shuffle (the previous
+    * explode(tokens)×16 + two groupBys shuffled 16×|tokens| rows).
     */
   def simhash16(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), portableHash(col("tok")).as("h"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 15), j -> named_struct('j', j, " +
-          "'v', CASE WHEN (shiftright(h, j) % 2) = 1 THEN 1 ELSE -1 END))"))
-        .as("bj"))
-      .groupBy(col("doc_id"), col("bj.j").as("j"))
-      .agg(sum(col("bj.v")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)"))
-        .otherwise(lit(0L))).as("simhash"))
+    docs.select(col("doc_id"), expr(
+      let1("hs",
+        """transform(split(text, ' '),
+             t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))""",
+        """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
+             acc + CASE WHEN
+               aggregate(hs, cast(0 as bigint),
+                 (a, h) -> a + CASE WHEN shiftright(h, j) % 2 = 1
+                                THEN 1 ELSE -1 END) > 0
+             THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"""))
+      .as("simhash"))
 
   /** n-gram Jaccard near-dup pairs within (lang, source) blocks:
     * |A∩B| / |A∪B| over distinct word n-grams. Blocking keys bound the
@@ -176,23 +221,93 @@ object TextOps {
   /** Random-hyperplane LSH bucket per vector (the ANN scale path: bucket
     * co-location turns top-k into per-bucket joins). Plane p component d
     * is ±1 from the portable hash of "p:d" — deterministic everywhere.
+    * Components are quantized so the per-plane dot product is an exact
+    * integer sum — bucket bits stay identical under any evaluation order,
+    * and the whole bucket is ONE per-row nested-HOF projection (the
+    * posexplode×planes + double-groupBy form shuffled dim×planes rows
+    * per vector; this shuffles nothing).
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+  /** First row's dimensionality (one LIMIT-1 job); assumes fixed-dim
+    * vectors, the standard embedding-table contract.
+    */
+  private def headDim(embeddings: DataFrame): Option[Int] =
+    embeddings.select(size(col("embedding")).as("d")).filter(col("d") > 0)
+      .take(1).headOption.map(_.getInt(0))
+
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
+    val dim = headDim(embeddings).getOrElse(
+      return embeddings.select(col("vec_id"), lit(0L).as("bucket")).limit(0))
+    // The ±1 plane matrix depends only on (p, d) — derive the md5 signs
+    // ONCE in a 1-row broadcast frame instead of per vector (planes×dim
+    // md5s total, not per row; the per-row work is pure integer dots).
+    val wDf = embeddings.sparkSession.range(1).select(expr(
+      s"""transform(sequence(0, ${planes - 1}), p ->
+            transform(sequence(0, $dim - 1), d ->
+              CASE WHEN cast(conv(substring(md5(concat(p, ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0
+                   THEN cast(1 as bigint) ELSE cast(-1 as bigint) END))""").as("w"))
     embeddings
-      .select(col("vec_id"), posexplode(col("embedding")))
-      // quantize components so the per-plane dot product is an exact
-      // integer sum — bucket bits stay identical under any shuffle order
-      .select(col("vec_id"), col("pos").as("d"),
-        round(col("col").cast("double") * 1048576).cast("bigint").as("xq"))
-      .withColumn("p", explode(expr(s"sequence(0, ${planes - 1})")))
-      .withColumn("w", when(
-        portableHash(concat(col("p"), lit(":"), col("d"))) % 2 === 0, lit(1L))
-        .otherwise(lit(-1L)))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("xq") * col("w")).as("dot"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(cast(1 as bigint), p)"))
-        .otherwise(lit(0L))).as("bucket"))
+      .filter(size(col("embedding")) > 0) // explode-form semantics kept
+      .crossJoin(broadcast(wDf))
+      .select(col("vec_id"), expr(
+        s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+              acc + CASE WHEN
+                aggregate(
+                  zip_with(embedding, w[p], (x, s) ->
+                    cast(round(cast(x as double) * 1048576) as bigint) * s),
+                  cast(0 as bigint), (a, v) -> a + v) > 0
+              THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)""")
+        .as("bucket"))
+  }
+
+  /** ANN top-k over the LSH buckets — the query path the buckets exist
+    * for. `tables` independent random-hyperplane hashes (plane signs
+    * salted by "t:p:d"); candidates = corpus vectors sharing the query's
+    * bucket in ANY table; exact cosine rerank within the candidate set.
+    *
+    * Scale shape: the corpus side is only ever touched by a per-row
+    * bucket projection + an equi-join on (table, bucket); queries are
+    * broadcast. No all-pairs scan — recall is traded via (tables, planes),
+    * and `Bench` reports recall@k against the exact baseline.
+    */
+  def annLshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    val dim = headDim(embeddings).getOrElse(
+      return embeddings.select(col("vec_id").as("qid"), lit(0).as("rn"),
+        col("vec_id"), lit(0.0).as("cos")).limit(0))
+    val wDf = embeddings.sparkSession.range(1).select(expr(
+      s"""transform(sequence(0, ${tables - 1}), t ->
+            transform(sequence(0, ${planes - 1}), p ->
+              transform(sequence(0, $dim - 1), d ->
+                CASE WHEN cast(conv(substring(md5(concat(t, ':', p, ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0
+                     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END)))""").as("w"))
+    val bucketArr = expr(
+      s"""transform(sequence(0, ${tables - 1}), t ->
+            aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+              acc + CASE WHEN
+                aggregate(
+                  zip_with(embedding, w[t][p], (x, s) ->
+                    cast(round(cast(x as double) * 1048576) as bigint) * s),
+                  cast(0 as bigint), (a, z) -> a + z) > 0
+              THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""")
+    val emb = embeddings.filter(size(col("embedding")) > 0)
+      .crossJoin(broadcast(wDf))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        posexplode(bucketArr))
+      .select(col("vec_id"), col("v"), col("pos").as("t"), col("col").as("bucket"))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("t"), col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
+    val cand = emb.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("qid", "vec_id") // union over tables
+    val scored = cand.select(col("qid"), col("vec_id"),
+      round(cosineExpr("qv", "v"), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
 
   // ---------------------------------------------------------- text analysis
 

@@ -46,6 +46,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sig(0L) != sig(3L))
   }
 
+  test("native minhash expression ≡ declarative SQL form (incl. edge docs)") {
+    val edge = Seq(
+      (10L, "", "en", "s0", 0L), // empty text
+      (11L, "one", "en", "s0", 3L), // fewer tokens than shingle length
+      (12L, "a b", "en", "s0", 3L),
+      (13L, "trailing space ", "en", "s0", 15L), // trailing empty token
+      (14L, "naïve café déjà-vu unicode ünïcode test", "fr", "s0", 39L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val both = docs.unionByName(edge)
+    val native = both.select($"doc_id",
+      TextOps.minhashSignatureArray(3, 8).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sql = both.select($"doc_id",
+      expr(TextOps.minhashSignatureSql(3, 8)).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == sql)
+  }
+
   test("minhash LSH pairs surface the exact and near duplicates") {
     val pairs = TextOps.minhashLshPairs(docs, 8, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
