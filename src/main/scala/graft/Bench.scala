@@ -50,8 +50,11 @@ object Bench {
       java.nio.file.Files.createDirectories(shmRoot)
       val store = new SnapshotStore(
         java.nio.file.Files.createTempDirectory(shmRoot, s"graft-bench-$cpus").toString)
+      // bucket count is a deployment knob: O(cores) locally (leaf-dir
+      // listing/commit overhead dominates beyond that), thousands on a
+      // real cluster; results are bucket-count independent
       val engine = new CrawlEngine(spark, store, pages, robots,
-        EngineConfig(numBuckets = 32, maxDepth = 2, maxBatches = maxBatches))
+        EngineConfig(numBuckets = 8, maxDepth = 2, maxBatches = maxBatches))
       engine.warmCorpus() // corpus generation = the "web", not crawl work
       engine.seed(seeds)
       val t0 = System.nanoTime()

@@ -4,7 +4,7 @@ import graft.core._
 import graft.state.SnapshotStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.util.sketch.BloomFilter
 import scala.util.hashing.MurmurHash3
 
 final case class EngineConfig(
@@ -72,7 +72,7 @@ private[engine] final case class RekeyCandidate(
   *
   * Each micro-batch is the deterministic linearization defined by the
   * oracle (graft.oracle.CrawlOracle): politeness-filtered per-host top-1
-  * claim (Window over (priority DESC, next_fetch_at ASC, url_hash ASC) —
+  * claim (argmin over (priority DESC, next_fetch_at ASC, url_hash ASC) —
   * the batch form of the reference's `ORDER BY priority DESC, next_fetch_at
   * ASC LIMIT 1 FOR UPDATE SKIP LOCKED` claim,
   * database/frontier_repository.go:151-161), distributed fetch against the
@@ -81,14 +81,26 @@ private[engine] final case class RekeyCandidate(
   * reference's upsert semantics (frontier_repository.go:58-79) that
   * pre-aggregates in-batch duplicates to match sequential upserts.
   *
-  * Scale design: the frontier is hash-partitioned by host into
-  * `numBuckets` buckets persisted as separate parquet paths; a batch
-  * rewrites ONLY the buckets its delta touches (claims, re-keys, inserts),
-  * carrying all other bucket files forward in the snapshot manifest —
-  * the Iceberg copy-on-write MERGE shape. State joins (frontier ⋈
-  * host_state, frontier ⋈ submissions) are co-bucketed by the same
-  * function, and the per-batch working set is the eligible slice, never
-  * the full frontier.
+  * Scale design — per-batch work is O(touched), never O(frontier):
+  *   - The frontier is hash-partitioned by host into `numBuckets` buckets,
+  *     each persisted as TWO parquet leaves: the pending slice and the
+  *     settled (fetched/dead) slice — the storage form of the reference's
+  *     partial index `(priority DESC, next_fetch_at ASC) WHERE
+  *     status='pending'` (crawler/migrations/014:29). Claim eligibility
+  *     reads ONLY pending leaves (sorted by next_fetch_at, so parquet
+  *     row-group stats skip backoff rows scheduled in the future).
+  *   - A batch rewrites ONLY the buckets its delta touches (claims,
+  *     re-keys, submissions); every other leaf carries forward in the
+  *     snapshot manifest — the Iceberg copy-on-write MERGE shape.
+  *   - Claim application is a BROADCAST anti-join (≤1 claim/host/batch
+  *     bounds the claim set), so the frontier side never shuffles for it.
+  *   - The submit merge repartitions both sides by `bucket` and joins on
+  *     (bucket, url_hash): HashPartitioning(bucket) satisfies the join's
+  *     clustering, so the delta data is shuffled ONCE and arrives at the
+  *     writer already aligned with the bucket layout.
+  *   - The seen-set bloom prefilter is per-bucket sidecar filters built
+  *     distributed (one pass, no driver collect of hashes), persisted
+  *     beside the bucket parquet and tracked in the manifest.
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -100,22 +112,6 @@ final class CrawlEngine(
 
   import spark.implicits._
 
-  /** Seen-set bloom prefilter, maintained incrementally: built from the
-    * frontier at seed/resume, merged with each batch's inserted hashes.
-    * The real-scale layout is one filter per bucket living beside the
-    * bucket's parquet (SURVEY.md §2.9); a single driver-held filter is the
-    * sandbox-size realization of the same contract — may-contain answers
-    * only, exact anti-join remains authoritative.
-    */
-  private var seenBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
-
-  private def initBloom(): Unit = if (cfg.useBloomPrefilter) {
-    val bf = org.apache.spark.util.sketch.BloomFilter
-      .create(cfg.bloomExpectedItems, cfg.bloomFpp)
-    frontier().select("url_hash").as[String].collect().foreach(bf.putString)
-    seenBloom = Some(bf)
-  }
-
   /** One bucket function everywhere (driver, executors, merge logic). */
   def bucketOf(host: String): Int =
     (MurmurHash3.stringHash(host) & 0x7fffffff) % cfg.numBuckets
@@ -125,11 +121,13 @@ final class CrawlEngine(
   }.toMap
   private val robotsBc = spark.sparkContext.broadcast(robotsMap)
 
-  /** Corpus pre-partitioned ONCE by the fetch-join key so the per-batch
-    * lookup join never re-shuffles the corpus side.
+  /** Corpus pre-partitioned AND pre-sorted ONCE by the fetch-join key:
+    * the cached scan keeps both the partitioning and the ordering, so the
+    * per-batch lookup join neither re-shuffles nor re-sorts the corpus
+    * side — only the (small) claim side moves.
     */
   private val pagesCached =
-    pages.repartition(col("url_hash")).cache()
+    pages.repartition(col("url_hash")).sortWithinPartitions("url_hash").cache()
 
   /** Redirect topology (url_hash → redirect_to) broadcast once per drain:
     * redirect rows are sparse corpus metadata, so the whole fetch stage —
@@ -143,43 +141,138 @@ final class CrawlEngine(
       .map(p => p.url_hash -> p.redirect_to)
       .collect().toMap)
 
+  /** Page lookup broadcast: the corpus is the sandbox stand-in for HTTP
+    * I/O, whose real cost is per-CLAIM, not per-corpus — a join against
+    * the whole corpus table re-streams "the web" every micro-batch, which
+    * misprices the engine. Corpora up to this bound are broadcast once and
+    * probed per claim; larger ones fall back to the cached co-partitioned
+    * join (a real 100 TB deployment replaces this stage with its fetch
+    * service entirely).
+    */
+  private val fetchBroadcastMaxRows = 2000000L
+  private lazy val pagesLookupBc
+      : Option[org.apache.spark.broadcast.Broadcast[Map[String, PageRow]]] =
+    if (pagesCached.count() <= fetchBroadcastMaxRows)
+      Some(spark.sparkContext.broadcast(
+        pagesCached.collect().map(p => p.url_hash -> p).toMap))
+    else None
+
   /** Materialize the corpus cache + redirect topology up front (bench: the
-    * corpus is the test stand-in for the web, not engine work to measure).
+    * corpus is the test stand-in for HTTP I/O, not engine work to measure).
     */
   def warmCorpus(): Long = {
     val n = pagesCached.count()
     redirectBc
+    pagesLookupBc
     n
   }
 
   var clock: Long = CrawlDefaults.VirtualEpochMs
   var batchId: Long = 0L
-  private var bucketPaths: Map[Int, String] = Map.empty
+  /** Frontier leaf manifest: (bucket, isPending) -> parquet leaf dir. */
+  private var bucketPaths: Map[(Int, Boolean), String] = Map.empty
   private var hostStatePath: String = ""
+
+  // ------------------------------------------------------------------ bloom
+
+  /** Per-bucket seen-set blooms (sidecars). Driver-held handles at sandbox
+    * scale; the build is distributed (mapGroups per bucket — hashes never
+    * collect to the driver) and each filter persists beside its bucket's
+    * parquet, tracked in the manifest, loaded (not rebuilt) on resume.
+    */
+  private var seenBloom: Option[scala.collection.mutable.Map[Int, BloomFilter]] = None
+  private var bloomPaths: Map[Int, String] = Map.empty
+
+  private def bloomExpectedPerBucket: Long =
+    math.max(cfg.bloomExpectedItems / cfg.numBuckets, 1024L)
+
+  private def newBloom(): BloomFilter =
+    BloomFilter.create(bloomExpectedPerBucket, cfg.bloomFpp)
+
+  private def initBloom(): Unit = if (cfg.useBloomPrefilter) {
+    val expected = bloomExpectedPerBucket
+    val fpp = cfg.bloomFpp
+    val built = frontier().groupByKey(_.bucket).mapGroups { (b, it) =>
+      val bf = BloomFilter.create(expected, fpp)
+      it.foreach(r => bf.putString(r.url_hash))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (b, bos.toByteArray)
+    }.collect()
+    seenBloom = Some(scala.collection.mutable.Map(built.map { case (b, bytes) =>
+      b -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    }: _*))
+    persistBloom(built.map(_._1).toSet)
+  }
+
+  /** Write updated sidecar files for `buckets`; untouched ones carry
+    * forward at their previous version (same shape as frontier leaves).
+    */
+  private def persistBloom(buckets: Set[Int]): Unit =
+    seenBloom.foreach { m =>
+      if (buckets.nonEmpty) {
+        val dir = java.nio.file.Paths.get(store.dataPath(s"bloom_v$batchId"))
+        java.nio.file.Files.createDirectories(dir)
+        buckets.foreach { b =>
+          m.get(b).foreach { bf =>
+            val p = dir.resolve(s"b_$b.bloom")
+            val os = java.nio.file.Files.newOutputStream(p)
+            try bf.writeTo(os) finally os.close()
+            bloomPaths += b -> p.toString
+          }
+        }
+      }
+    }
+
+  private def loadBloom(paths: Map[Int, String]): Unit = {
+    val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
+    paths.foreach { case (b, p) =>
+      val is = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))
+      try m(b) = BloomFilter.readFrom(is) finally is.close()
+    }
+    seenBloom = Some(m)
+    bloomPaths = paths
+  }
 
   // ----------------------------------------------------------------- state IO
 
-  /** Current frontier snapshot: ONE multi-path parquet scan over the
-    * manifest's bucket files (not a per-bucket union — a 32-way union
-    * inflates every downstream Catalyst plan and analysis dominates the
-    * micro-batch). The bucket column is recomputed from host on read; it
-    * is a pure function of host, so path-carried and recomputed values
-    * are identical.
-    */
-  def frontier(): Dataset[FrontierUrl] = {
-    val paths = bucketPaths.toSeq.sortBy(_._1).map(_._2)
-    if (paths.isEmpty) spark.emptyDataset[FrontierUrl]
-    else {
-      val nb = cfg.numBuckets
-      val bucketUdf = udf((host: String) =>
-        (MurmurHash3.stringHash(host) & 0x7fffffff) % nb)
-      spark.read.schema(frontierNoBucketSchema).parquet(paths: _*)
-        .withColumn("bucket", bucketUdf($"host")).as[FrontierUrl]
-    }
-  }
-
   private lazy val frontierSchema =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[FrontierUrl]().schema
+
+  // projection schemas for the lineage/bloom readback of delta files
+  private lazy val tagReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("mtag",
+      org.apache.spark.sql.types.StringType)))
+  private lazy val insertReadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("url_hash",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("mtag",
+      org.apache.spark.sql.types.StringType)))
+
+  private def readSlice(paths: Seq[String]): Dataset[FrontierUrl] =
+    if (paths.isEmpty) spark.emptyDataset[FrontierUrl]
+    else spark.read.schema(frontierSchema).parquet(paths.sorted: _*).as[FrontierUrl]
+
+  /** Full frontier: ONE multi-path scan over every manifest leaf. Data
+    * files carry all columns (bucket included) — nothing is recomputed.
+    */
+  def frontier(): Dataset[FrontierUrl] =
+    readSlice(bucketPaths.values.toSeq)
+
+  /** The claimable slice: pending leaves only (S3 — the partial-index
+    * read). At 10^10 rows this is the difference between scanning the
+    * eligible slice and scanning the world.
+    */
+  def pendingSlice(): Dataset[FrontierUrl] =
+    readSlice(bucketPaths.collect { case ((_, true), p) => p }.toSeq)
+
+  /** Both slices of the given buckets only (delta reads, rekey probes). */
+  def bucketSlice(buckets: Set[Int]): Dataset[FrontierUrl] =
+    readSlice(bucketPaths.collect { case ((b, _), p) if buckets(b) => p }.toSeq)
 
   def hostState(): Dataset[HostState] =
     if (hostStatePath.isEmpty) spark.emptyDataset[HostState]
@@ -207,7 +300,12 @@ final class CrawlEngine(
     val sortCol = // whitelist-validated, like the reference
       if (Seq("priority", "next_fetch_at", "created_at").contains(sortBy)) sortBy
       else "priority"
-    var df = frontier().toDF()
+    // status is a storage dimension: a pending/not-pending filter prunes
+    // whole leaves before any row is read
+    var df = (status match {
+      case Some(FrontierStatus.Pending) => pendingSlice()
+      case _ => frontier()
+    }).toDF()
     status.foreach(v => df = df.filter($"status" === v))
     sourceId.foreach(v => df = df.filter($"source_id" === v))
     host.foreach(v => df = df.filter($"host" === v))
@@ -229,27 +327,43 @@ final class CrawlEngine(
     else spark.read.parquet(dirs: _*)
   }
 
-  private def writeBuckets(df: Dataset[FrontierUrl], deltaBuckets: Set[Int],
-      version: Long): Unit = {
+  /** Persist the delta buckets' rows as (bucket, pending) parquet leaves.
+    * The caller hands data already partitioned bucket-wise (the merge's
+    * single shuffle); `repartitionFirst` is for cold paths (seed) only.
+    * Leaves that end the batch empty are DROPPED from the manifest — never
+    * pointed at a missing dir, never carried stale.
+    *
+    * The input carries one extra column, `mtag` (insert|dedup|keep), which
+    * is WRITTEN INTO the delta parquet: per-bucket lineage is then a
+    * two-column readback of the just-written (page-cached) files instead
+    * of a second evaluation of the merge. State readers are unaffected —
+    * every frontier read uses the explicit row schema, which simply never
+    * selects the column.
+    */
+  private def writeBuckets(df: DataFrame, deltaBuckets: Set[Int],
+      version: Long, repartitionFirst: Boolean): Unit = {
     if (deltaBuckets.isEmpty) return
-    val touched = df.filter($"bucket".isin(deltaBuckets.toSeq: _*))
     val path = store.dataPath(s"frontier_v$version")
-    touched.repartition(math.max(1, deltaBuckets.size), $"bucket")
-      .sortWithinPartitions(desc("priority"), asc("next_fetch_at"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // manifest: delta buckets point at the new files, others carry forward.
-    // A delta bucket that ended the batch EMPTY (e.g. its only row re-keyed
-    // to a host in another bucket) produced no bucket=b dir — it must be
-    // DROPPED from the manifest, not pointed at a missing path (and its old
-    // file is stale, so carrying it forward would resurrect dead rows).
-    val written = deltaBuckets.filter(b =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, s"bucket=$b")))
-    bucketPaths = (bucketPaths -- deltaBuckets) ++
-      written.map(b => b -> s"$path/bucket=$b")
+    val base = df.filter($"bucket".isin(deltaBuckets.toSeq: _*))
+    val part =
+      if (repartitionFirst) base.repartition(math.max(1, deltaBuckets.size), $"bucket")
+      else base
+    part
+      .withColumn("bucket_p", $"bucket")
+      .withColumn("pend_p", $"status" === FrontierStatus.Pending)
+      // pending leaves sorted by due time: `next_fetch_at <= now` prunes
+      // row groups of backoff rows scheduled in the future
+      .sortWithinPartitions($"bucket_p", $"pend_p", $"next_fetch_at")
+      .write.mode("overwrite").partitionBy("bucket_p", "pend_p").parquet(path)
+    val updated = for {
+      b <- deltaBuckets.toSeq
+      pend <- Seq(true, false)
+      leaf = s"$path/bucket_p=$b/pend_p=$pend"
+      if java.nio.file.Files.exists(java.nio.file.Paths.get(leaf))
+    } yield (b, pend) -> leaf
+    bucketPaths = (bucketPaths --
+      deltaBuckets.flatMap(b => Seq((b, true), (b, false)))) ++ updated
   }
-
-  private lazy val frontierNoBucketSchema = org.apache.spark.sql.types.StructType(
-    frontierSchema.filterNot(_.name == "bucket"))
 
   // ----------------------------------------------------------------- seeding
 
@@ -266,25 +380,31 @@ final class CrawlEngine(
         case _ => None
       }
     }
-    val subsDs = spark.createDataset(subs)
-    val merged = mergeSubmissions(spark.emptyDataset[FrontierUrl], subsDs).map(_._1)
-    val delta = merged.select("bucket").distinct().as[Int].collect().toSet
-    writeBuckets(merged, delta, 0L)
-    writeHostState(hostState(), Set.empty, 0L)
+    val subAgg = aggregateSubmissions(spark.createDataset(subs)).persist()
+    val delta = subAgg.select("bucket").distinct().as[Int].collect().toSet
+    val merged = mergeSubmissions(spark.emptyDataset[FrontierUrl], subAgg,
+      math.max(1, delta.size))
+    writeBuckets(merged.select($"_1.*", $"_2".as("mtag")), delta, 0L,
+      repartitionFirst = false)
+    subAgg.unpersist()
+    writeHostState(hostState(), 0L)
     commit()
     initBloom() // AFTER the seed snapshot: the filter must cover every row
   }
 
-  private def writeHostState(hs: Dataset[HostState], touchedHosts: Set[String],
-      version: Long): Unit = {
+  private def writeHostState(hs: Dataset[HostState], version: Long): Unit = {
     val path = store.dataPath(s"host_state_v$version")
     hs.coalesce(1).write.mode("overwrite").parquet(path)
     hostStatePath = path
   }
 
   private def commit(): Unit =
-    store.commit(store.Manifest(batchId, clock, bucketPaths,
-      Map("host_state" -> hostStatePath)))
+    store.commit(store.Manifest(batchId, clock,
+      bucketPaths.map { case ((b, pend), p) =>
+        s"$b/${if (pend) "p" else "s"}" -> p
+      },
+      Map("host_state" -> hostStatePath) ++
+        bloomPaths.map { case (b, p) => s"bloom/$b" -> p }))
 
   /** Resume from the latest committed snapshot. */
   def resume(): Boolean =
@@ -292,9 +412,17 @@ final class CrawlEngine(
       case Some(m) =>
         batchId = m.batchId
         clock = m.clock
-        bucketPaths = m.buckets
+        bucketPaths = m.buckets.map { case (k, v) =>
+          val Array(b, ps) = k.split("/", 2)
+          (b.toInt, ps == "p") -> v
+        }
         hostStatePath = m.tables.getOrElse("host_state", "")
-        initBloom()
+        if (cfg.useBloomPrefilter) {
+          val persisted = m.tables.collect {
+            case (k, v) if k.startsWith("bloom/") => k.stripPrefix("bloom/").toInt -> v
+          }
+          if (persisted.nonEmpty) loadBloom(persisted) else initBloom()
+        }
         true
       case None => false
     }
@@ -308,34 +436,54 @@ final class CrawlEngine(
     n
   }
 
-  /** One micro-batch. Returns false when no pending URLs remain. */
+  /** One micro-batch. Returns false when no pending URLs remain. Only the
+    * pending leaves are read — settled rows never enter the claim path —
+    * and clock advance, eligibility, and the per-host claim are ONE fused
+    * job (the global min(ready_at) rides along as a 1-row cross join, and
+    * the driver reads it back off the claim rows).
+    */
   def step(): Boolean = {
-    val f0 = frontier().cache()
-    try stepOn(f0)
-    finally f0.unpersist()
-  }
-
-  private def stepOn(f0: Dataset[FrontierUrl]): Boolean = {
     val hs = hostState()
-    val pending = f0.filter($"status" === FrontierStatus.Pending)
+    val pending = pendingSlice()
 
     // readiness: max(next_fetch_at, host_ready) per row; min over rows is
     // the next virtual instant anything is claimable (S1 politeness
-    // predicate, frontier_repository.go:155-157).
+    // predicate, frontier_repository.go:155-157). now = max(clock, min) —
+    // rows due at-or-before `now` are eligible, exactly the old two-job
+    // (agg-then-filter) semantics.
     val withReady = pending.join(hs.select($"host", $"last_fetch_at", $"min_delay_ms"),
         Seq("host"), "left")
       .withColumn("host_ready",
         coalesce($"last_fetch_at" + $"min_delay_ms", lit(Long.MinValue)))
       .withColumn("ready_at", greatest($"next_fetch_at", $"host_ready"))
-    val minReady = withReady.agg(min($"ready_at")).as[Option[Long]].first()
-    minReady match {
-      case None => false // drained
-      case Some(t) =>
-        clock = math.max(clock, t)
-        batchId += 1
-        runBatch(f0, withReady)
-        true
-    }
+    val minDf = withReady.agg(min($"ready_at").as("m"))
+    val eligible = withReady.crossJoin(minDf)
+      .filter($"ready_at" <= greatest(lit(clock), $"m"))
+
+    // ---- S1 claim: top-1 per host over the eligible slice.
+    // An argmin AGGREGATION (min_by over the claim-order tuple) rather than
+    // a window row_number: hash aggregation does map-side partial combine,
+    // so a skewed host with 10^7 eligible rows reduces locally on every
+    // partition before the shuffle — the window form would sort that
+    // host's entire row set in one task. ----
+    val fields = frontierSchema.fieldNames
+    val claimsDf = timed("claims") { eligible
+      .groupBy($"host".as("claim_host"))
+      .agg(min_by(struct(fields.map(col): _*),
+        struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"),
+        first($"m").as("m"))
+      .select($"top.*", $"m")
+      .localCheckpoint() } // truncate lineage: every downstream plan reuses this
+    // one tiny pass over the (cached) claims: drained? clock advance?
+    // which buckets did claims touch?
+    val meta = timed("claims_meta") {
+      claimsDf.agg(min($"m"), collect_set($"bucket")).collect()(0) }
+    if (meta.isNullAt(0)) return false // no claims ⇒ no pending rows
+    clock = math.max(clock, meta.getLong(0))
+    batchId += 1
+    runBatch(claimsDf.select(fields.map(col): _*).as[FrontierUrl],
+      meta.getSeq[Int](1).toSet)
+    true
   }
 
   private val trace = sys.env.contains("GRAFT_TRACE")
@@ -347,7 +495,8 @@ final class CrawlEngine(
     r
   }
 
-  private def runBatch(f0: Dataset[FrontierUrl], withReady: DataFrame): Unit = {
+  private def runBatch(claims: Dataset[FrontierUrl],
+      claimsBuckets: Set[Int]): Unit = {
     val now = clock
     val bid = batchId
     val nb = cfg.numBuckets
@@ -355,24 +504,7 @@ final class CrawlEngine(
     val maxRetries = cfg.maxRetries
     val maxDepth = cfg.maxDepth
     val robots = robotsBc
-
-    // ---- S1 claim: top-1 per host over the eligible slice.
-    // An argmin AGGREGATION (min_by over the claim-order tuple) rather than
-    // a window row_number: hash aggregation does map-side partial combine,
-    // so a skewed host with 10^7 eligible rows reduces locally on every
-    // partition before the shuffle — the window form would sort that
-    // host's entire row set in one task. ----
-    val eligible = withReady
-      .filter($"next_fetch_at" <= now && $"host_ready" <= now)
-      .drop("host_ready", "ready_at", "last_fetch_at", "min_delay_ms")
     val fields = frontierSchema.fieldNames
-    val claims: Dataset[FrontierUrl] = eligible
-      .groupBy($"host".as("claim_host"))
-      .agg(min_by(struct(fields.map(col): _*),
-        struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"))
-      .select($"top.*")
-      .as[FrontierUrl]
-      .localCheckpoint() // truncate lineage: every downstream plan reuses this
 
     // claim log (the crawl-ordering trace; in-batch order = the defined
     // tuple, so no global sort is materialized here). Sink writes that are
@@ -409,20 +541,33 @@ final class CrawlEngine(
       }
     }
 
-    // single lookup join against the corpus (the fetch I/O stage)
-    val toFetch = gated.filter(_.failReason.isEmpty)
-    val fetchStates = gated.filter(_.failReason.nonEmpty).union(
-      toFetch.joinWith(pagesCached,
-          toFetch("lookupHash") === pagesCached("url_hash"), "left_outer")
-        .map { case (s, pageOrNull) =>
-          Option(pageOrNull) match {
+    // the fetch I/O stage: per-claim broadcast-map probe (the honest model
+    // of per-URL HTTP cost), or a single lookup join against the cached
+    // co-partitioned corpus for oversized corpora
+    val fetchStates = pagesLookupBc match {
+      case Some(bc) =>
+        gated.map { s =>
+          if (s.failReason.nonEmpty) s
+          else bc.value.get(s.lookupHash) match {
             case None    => s.copy(failReason = "fetch_error")
             case Some(p) => s.copy(page = Some(p))
           }
-        })
+        }
+      case None =>
+        val toFetch = gated.filter(_.failReason.isEmpty)
+        gated.filter(_.failReason.nonEmpty).union(
+          toFetch.joinWith(pagesCached,
+              toFetch("lookupHash") === pagesCached("url_hash"), "left_outer")
+            .map { case (s, pageOrNull) =>
+              Option(pageOrNull) match {
+                case None    => s.copy(failReason = "fetch_error")
+                case Some(p) => s.copy(page = Some(p))
+              }
+            })
+    }
 
     // ---- X4-X6 outcome dispatch ----
-    val resolved: Dataset[Resolved] = fetchStates.map { s =>
+    val resolved: Dataset[Resolved] = timed("fetch_resolve") { fetchStates.map { s =>
       val r = s.claim
       if (s.failReason == CrawlDefaults.ReasonRobotsBlocked)
         Resolved(r, "dead", s.failReason, "", "", "", Nil, Nil, "")
@@ -459,7 +604,7 @@ final class CrawlEngine(
               "", "", "", Nil, Nil, p.url)
         }
       }
-    }.localCheckpoint()
+    }.localCheckpoint() }
 
     // ---- X7 final-URL re-key with collision fallback (23505 semantics) ----
     val rekeyCandidates = resolved.flatMap { o =>
@@ -473,10 +618,24 @@ final class CrawlEngine(
         case _ => None
       }
     }
-    val candWithExists = timed("rekey_collect") { rekeyCandidates
-      .joinWith(f0, rekeyCandidates("newHash") === f0("url_hash"), "left_outer")
-      .map { case (c, fOrNull) => c.copy(existsInTable = fOrNull != null) }
-      .collect().sortBy(c => (c.negPrio, c.nfa, c.oldHash)) }
+    // Collect is bounded by ≤1 claim/host/batch — the same bound as the
+    // claim set itself. The existence probe reads ONLY the buckets the
+    // candidate hashes can live in (url_hash → host → bucket is
+    // deterministic) and ships only the tiny candidate list, broadcast.
+    val cand0 = timed("rekey_collect") { rekeyCandidates.collect() }
+    val existing: Set[String] =
+      if (cand0.isEmpty) Set.empty
+      else timed("rekey_probe") {
+        val candBuckets = cand0.map(c => bucketOf(c.newHost)).toSet
+        val hashDf = spark.createDataset(cand0.map(_.newHash).toSeq.distinct)
+          .toDF("url_hash")
+        bucketSlice(candBuckets).toDF()
+          .join(broadcast(hashDf), Seq("url_hash"), "left_semi")
+          .select("url_hash").as[String].collect().toSet
+      }
+    val candWithExists = cand0
+      .map(c => c.copy(existsInTable = existing.contains(c.newHash)))
+      .sortBy(c => (c.negPrio, c.nfa, c.oldHash))
     // sequential resolution in claim order — matches the reference's
     // per-transaction unique check (frontier_repository.go:243-253)
     val removedOld = scala.collection.mutable.Set[String]()
@@ -493,7 +652,9 @@ final class CrawlEngine(
     }
     val rekeyBc = spark.sparkContext.broadcast(rekeyOk.toMap)
 
-    // ---- build updated frontier rows for all claims ----
+    // ---- build updated frontier rows for all claims (a lazy narrow map
+    // over the checkpointed outcomes — cheap to recompute for its two
+    // consumers, so no materialization job of its own) ----
     val updates: Dataset[FrontierUrl] = resolved.map { o =>
       val r = o.claim
       val base = o.outcome match {
@@ -522,7 +683,7 @@ final class CrawlEngine(
             bucket = (MurmurHash3.stringHash(c.newHost) & 0x7fffffff) % nb)
         case _ => base
       }
-    }.localCheckpoint()
+    }
 
     // ---- docs sink (ES-index analog; one doc per fetched 200 page) ----
     val docsF = Future(timed("docs_write") {
@@ -556,92 +717,119 @@ final class CrawlEngine(
         }
       }
     }
+    val subAgg = aggregateSubmissions(submissions).persist()
+    val subCounts: Map[Int, Long] = timed("sub_counts") {
+      subAgg.groupBy($"bucket").count().as[(Int, Long)].collect().toMap }
+
+    // delta = claimed rows' buckets ∪ re-key old/new buckets ∪ submission
+    // buckets; every other bucket's leaves carry forward untouched.
+    val deltaBuckets = claimsBuckets ++ subCounts.keySet ++
+      rekeyOk.values.flatMap(c => Seq(c.oldBucket, bucketOf(c.newHost)))
 
     // ---- apply outcomes then submissions (the batch linearization) ----
-    val claimedKeys = claims.map(_.url_hash).toDF("url_hash")
+    // Claim application: broadcast anti-join (claims ≤ 1/host/batch), so
+    // the frontier side streams in place; only the DELTA buckets are read.
+    val f0d = bucketSlice(deltaBuckets)
     // NB: a using-column join moves the key column first; re-select the
     // canonical field order before the positional union with `updates`.
-    val f1 = f0.join(claimedKeys, Seq("url_hash"), "left_anti")
-      .select(frontierSchema.fieldNames.map(col): _*)
+    val f1 = f0d.toDF()
+      .join(broadcast(claims.select("url_hash")), Seq("url_hash"), "left_anti")
+      .select(fields.map(col): _*)
       .as[FrontierUrl].union(updates)
+
     // Re-keyed hashes enter the bloom BEFORE the merge: the filter must be
     // a superset of f1's url_hashes when mergeSubmissions broadcasts it, or
     // a same-batch submission matching a just-re-keyed final URL would test
     // "definitely unseen" and insert a duplicate row beside the re-keyed one.
-    seenBloom.foreach { bf => rekeyOk.values.foreach(c => bf.putString(c.newHash)) }
-    val merged = mergeSubmissions(f1, submissions).persist()
-    // keep the prefilter in sync with this batch's inserts
-    seenBloom.foreach { bf =>
-      merged.filter(_._2 == "insert").map(_._1.url_hash).collect()
-        .foreach(bf.putString)
-    }
-    val f2 = merged.map(_._1)
-
-    // ---- per-bucket lineage (north rule) + delta buckets from TWO tiny
-    //      collected aggregates: one over the tagged merge output, one
-    //      over the claim updates ----
-    val changedAgg = timed("merge_agg") {
-      merged.filter(_._2 != "keep")
-        .map { case (r, tag) => (r.bucket, tag) }
-        .groupByKey(identity).count().collect()
-    }
-    val updAgg = timed("upd_agg") {
-      updates.map(u => (u.bucket, u.status))
-        .groupByKey(identity).count().collect()
-    }
-    val fetchedBy = updAgg.collect { case ((b, st), c) if st == FrontierStatus.Fetched => b -> c }.toMap
-    val insertedBy = changedAgg.collect { case ((b, "insert"), c) => b -> c }.toMap
-    val dedupBy = changedAgg.collect { case ((b, "dedup"), c) => b -> c }.toMap
-    val lineageRows = (fetchedBy.keySet ++ insertedBy.keySet ++ dedupBy.keySet)
-      .toSeq.sorted.map { b =>
-        LineageRow(bid, b, insertedBy.getOrElse(b, 0L), fetchedBy.getOrElse(b, 0L),
-          dedupBy.getOrElse(b, 0L))
+    seenBloom.foreach { m =>
+      rekeyOk.values.foreach { c =>
+        m.getOrElseUpdate(bucketOf(c.newHost), newBloom()).putString(c.newHash)
       }
-    timed("lineage_write") {
+    }
+    val merged = mergeSubmissions(f1, subAgg, math.max(1, deltaBuckets.size))
+
+    // ---- the batch's ONE pass over delta data: merge → write ----
+    timed("frontier_write") {
+      writeBuckets(merged.select($"_1.*", $"_2".as("mtag")), deltaBuckets,
+        bid, repartitionFirst = false)
+    }
+
+    // ---- per-bucket lineage (north rule): a two-column readback of the
+    // mtag column persisted in the just-written (page-cached) delta files
+    // — the merge is never evaluated twice, and the whole block runs off
+    // the critical path (awaited before the snapshot commit) ----
+    val deltaLeaves = bucketPaths.collect {
+      case ((b, _), p) if deltaBuckets(b) && p.contains(s"_v$bid/") => p
+    }.toSeq.sorted
+    val lineageF = Future(timed("lineage") {
+      val tagCounts: Map[(Int, String), Long] =
+        if (deltaLeaves.isEmpty) Map.empty
+        else spark.read.schema(tagReadSchema).parquet(deltaLeaves: _*)
+          .filter($"mtag" =!= "keep")
+          .groupBy($"bucket", $"mtag").count()
+          .as[(Int, String, Long)].collect()
+          .map { case (b, t, c) => (b, t) -> c }.toMap
+      val dedupBy = tagCounts.collect { case ((b, "dedup"), c) => b -> c }
+      val insertedBy = tagCounts.collect { case ((b, "insert"), c) => b -> c }
+      val fetchedBy: Map[Int, Long] =
+        updates.toDF().filter($"status" === FrontierStatus.Fetched)
+          .groupBy($"bucket").count().as[(Int, Long)].collect().toMap
+      val lineageRows = (fetchedBy.keySet ++ insertedBy.keySet ++ dedupBy.keySet)
+        .toSeq.sorted.map { b =>
+          LineageRow(bid, b, insertedBy.getOrElse(b, 0L), fetchedBy.getOrElse(b, 0L),
+            dedupBy.getOrElse(b, 0L))
+        }
       spark.createDataset(lineageRows).toDF().coalesce(1)
         .write.mode("overwrite").parquet(store.dataPath(s"lineage_v$bid"))
+    })
+
+    // keep the per-bucket prefilters in sync with this batch's inserts
+    // (hashes come from the same cheap readback, never a merge re-run)
+    seenBloom.foreach { m =>
+      if (deltaLeaves.nonEmpty) {
+        val inserted = spark.read.schema(insertReadSchema)
+          .parquet(deltaLeaves: _*)
+          .filter($"mtag" === "insert")
+          .select($"bucket", $"url_hash").as[(Int, String)].collect()
+        inserted.foreach { case (b, h) =>
+          m.getOrElseUpdate(b, newBloom()).putString(h) }
+        persistBloom(inserted.map(_._1).toSet ++
+          rekeyOk.values.map(c => bucketOf(c.newHost)))
+      }
     }
 
-    // delta = updates' (new) buckets ∪ re-keyed rows' old buckets ∪
-    // inserted/merged submission buckets; every other bucket carries forward
-    val deltaBuckets = updAgg.map(_._1._1).toSet ++ insertedBy.keySet ++
-      dedupBy.keySet ++ rekeyOk.values.map(_.oldBucket)
-    timed("frontier_write") { writeBuckets(f2, deltaBuckets, bid) }
-
     // ---- S2 host_state update (fetch-attempted hosts only) ----
-    val touched = resolved
-      .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
-      .map(_.claim.host).distinct().toDF("host")
-    val hs = hostState()
-    val newHs = hs.toDF().join(touched.withColumn("t", lit(1)), Seq("host"), "full_outer")
-      .select($"host",
-        when($"t".isNotNull, lit(now)).otherwise($"last_fetch_at").as("last_fetch_at"),
-        coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"))
-      .withColumn("bucket", lit(0)) // placeholder, recomputed below
-      .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
-    timed("host_write") { writeHostState(newHs, Set.empty, bid) }
+    val hostF = Future(timed("host_write") {
+      val touched = resolved
+        .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
+        .map(_.claim.host).distinct().toDF("host")
+      val hs = hostState()
+      val newHs = hs.toDF().join(touched.withColumn("t", lit(1)), Seq("host"), "full_outer")
+        .select($"host",
+          when($"t".isNotNull, lit(now)).otherwise($"last_fetch_at").as("last_fetch_at"),
+          coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"))
+        .withColumn("bucket", lit(0)) // placeholder, recomputed below
+        .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
+      writeHostState(newHs, bid)
+    })
 
     // all sinks must be durable before the snapshot pointer moves
     Await.result(claimLogF, Duration.Inf)
     Await.result(docsF, Duration.Inf)
+    Await.result(lineageF, Duration.Inf)
+    Await.result(hostF, Duration.Inf)
     commit()
-    merged.unpersist()
+    subAgg.unpersist()
   }
 
-  /** Set-oriented Submit (F1): pre-aggregate in-batch duplicates with the
-    * sequential-upsert-equivalent semantics — priority=GREATEST,
+  /** Pre-aggregate in-batch duplicate submissions with the
+    * sequential-upsert-equivalent semantics: priority=GREATEST,
     * next_fetch_at=LEAST over all duplicates, insert-only fields from the
-    * FIRST submission in (claim order, link index) order — then merge into
-    * the frontier (insert new; update pending; fetched/dead untouched).
-    * Each output row is tagged insert | dedup | keep for lineage.
+    * FIRST submission in (claim order, link index) order.
     */
-  private def mergeSubmissions(
-      f1: Dataset[FrontierUrl],
-      subs: Dataset[SubRow]
-  ): Dataset[(FrontierUrl, String)] = {
+  private def aggregateSubmissions(subs: Dataset[SubRow]): Dataset[SubFirst] = {
     val nb = cfg.numBuckets
-    val bloomBc = seenBloom.map(spark.sparkContext.broadcast(_))
-    val subAgg: Dataset[SubFirst] = subs
+    subs
       .map(r => (r.s.url_hash, r.s.priority, r.s.next_fetch_at, r.negPrio,
         r.nfa, r.claimHash, r.li, r.s.url, r.s.host, r.s.source_id,
         r.s.origin, r.s.parent_url, r.s.depth))
@@ -661,15 +849,34 @@ final class CrawlEngine(
       .withColumn("bucket", lit(0))
       .as[SubFirst]
       .map(s => s.copy(bucket = (MurmurHash3.stringHash(s.host) & 0x7fffffff) % nb))
+  }
 
+  /** Set-oriented Submit (F1): merge aggregated submissions into the delta
+    * frontier slice (insert new; update pending; fetched/dead untouched).
+    *
+    * Shuffle shape: both sides repartition by `bucket` and join on
+    * (bucket, url_hash) — HashPartitioning(bucket) satisfies the join's
+    * required clustering, so this is the batch's ONE shuffle of frontier
+    * data, and the output lands already aligned with the bucket layout
+    * the writer persists — one pass straight into the write, nothing
+    * cached or tagged.
+    */
+  private def mergeSubmissions(
+      f1: Dataset[FrontierUrl],
+      subAgg: Dataset[SubFirst],
+      nParts: Int
+  ): Dataset[(FrontierUrl, String)] = {
+    val bloomBc = seenBloom.map(m => spark.sparkContext.broadcast(m.toMap))
     val now = clock
+    val subR = subAgg.repartition(nParts, $"bucket")
     // bloom split: definitely-new submissions bypass the dedup join —
-    // that join's probe side shrinks to the maybe-seen subset
+    // that join's probe side shrinks to the maybe-seen subset. A bucket
+    // with no filter has no rows, so "no filter" means definitely new.
     val (subJoin, subFresh) = bloomBc match {
       case Some(bf) =>
-        (subAgg.filter(s => bf.value.mightContainString(s.url_hash)),
-          subAgg.filter(s => !bf.value.mightContainString(s.url_hash)))
-      case None => (subAgg, spark.emptyDataset[SubFirst])
+        (subR.filter(s => bf.value.get(s.bucket).exists(_.mightContainString(s.url_hash))),
+          subR.filter(s => !bf.value.get(s.bucket).exists(_.mightContainString(s.url_hash))))
+      case None => (subR, spark.emptyDataset[SubFirst])
     }
     val freshInserts = subFresh.map { s =>
       (FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
@@ -677,8 +884,10 @@ final class CrawlEngine(
         s.next_fetch_at, None, 0, None, None, None, 0, None,
         s.next_fetch_at, now, now, s.bucket), "insert")
     }
-    freshInserts.union(
-      f1.joinWith(subJoin, f1("url_hash") === subJoin("url_hash"), "full_outer")
+    val f1r = f1.repartition(nParts, $"bucket")
+    f1r.joinWith(subJoin,
+        f1r("bucket") === subJoin("bucket") &&
+          f1r("url_hash") === subJoin("url_hash"), "full_outer")
       .map { case (fOrNull, sOrNull) =>
         (Option(fOrNull), Option(sOrNull)) match {
           case (Some(f), Some(s)) =>
@@ -695,6 +904,7 @@ final class CrawlEngine(
               s.next_fetch_at, now, now, s.bucket), "insert")
           case (None, None) => sys.error("unreachable full-outer row")
         }
-      })
+      }
+      .union(freshInserts)
   }
 }

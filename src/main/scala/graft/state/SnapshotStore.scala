@@ -32,7 +32,12 @@ final class SnapshotStore(rootDir: String) {
   final case class Manifest(
       batchId: Long,
       clock: Long,
-      buckets: Map[Int, String], // frontier bucket -> data path (relative)
+      // frontier partition key -> leaf data path; the key is
+      // "<bucket>/p" (pending slice) or "<bucket>/s" (settled slice) —
+      // the status split is what lets claim reads touch only the
+      // eligible files (the reference's partial index WHERE
+      // status='pending', crawler/migrations/014:29).
+      buckets: Map[String, String],
       tables: Map[String, String] // small tables (host_state, ...) -> path
   )
 
@@ -72,8 +77,7 @@ final class SnapshotStore(rootDir: String) {
       }
     }
     Manifest(longField("batchId"), longField("clock"),
-      mapField("buckets").map { case (k, v) => k.toInt -> v },
-      mapField("tables"))
+      mapField("buckets"), mapField("tables"))
   }
 
   /** Atomic commit: temp write + rename (the Iceberg snapshot-pointer move). */
@@ -111,27 +115,30 @@ final class SnapshotStore(rootDir: String) {
       m.buckets.values.map(v => Paths.get(v).normalize.toString) ++
         m.tables.values.map(v => Paths.get(v).normalize.toString)
     }.toSet
+    // A dir is live when it IS a live leaf or an ancestor of one (manifest
+    // leaves may sit one or two partition levels below the version dir).
+    def isLive(p: Path): Boolean = {
+      val s = p.normalize.toString
+      live.contains(s) || live.exists(_.startsWith(s + "/"))
+    }
     var removed = 0
     val dataDir = root.resolve("data")
     Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
       val name = d.getFileName.toString
       val isState = name.startsWith("frontier_v") || name.startsWith("host_state_v")
       if (isState) {
-        // a frontier_v dir is live if any of its bucket subdirs is live
-        val subLive =
-          if (name.startsWith("frontier_v"))
-            Files.list(d).iterator().asScala.exists(sub =>
-              live.contains(sub.normalize.toString))
-          else live.contains(d.normalize.toString)
-        if (!subLive) { deleteRecursively(d); removed += 1 }
+        if (!isLive(d)) { deleteRecursively(d); removed += 1 }
         else if (name.startsWith("frontier_v")) {
-          // prune dead bucket subdirs inside partially-live versions
-          Files.list(d).iterator().asScala.toSeq.foreach { sub =>
-            if (sub.getFileName.toString.startsWith("bucket=") &&
-              !live.contains(sub.normalize.toString)) {
-              deleteRecursively(sub); removed += 1
+          // prune dead partition subtrees inside partially-live versions
+          def prune(dir: Path): Unit =
+            Files.list(dir).iterator().asScala.toSeq.foreach { sub =>
+              val n = sub.getFileName.toString
+              if (Files.isDirectory(sub) && (n.contains("=") || n.forall(_.isDigit))) {
+                if (!isLive(sub)) { deleteRecursively(sub); removed += 1 }
+                else if (!live.contains(sub.normalize.toString)) prune(sub)
+              }
             }
-          }
+          prune(d)
         }
       }
     }

@@ -74,15 +74,16 @@ class JobQueueAndFilterSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(p.resolve("part-0.parquet"), "x")
       p.toString
     }
-    // v0: buckets 0,1; v1 rewrites bucket 0 only (bucket 1 carries forward)
-    val b0v0 = mkData("frontier_v0/bucket=0")
-    val b1v0 = mkData("frontier_v0/bucket=1")
+    // v0: buckets 0,1 (pending+settled leaves); v1 rewrites bucket 0 only
+    // (bucket 1 carries forward)
+    val b0v0 = mkData("frontier_v0/bucket_p=0/pend_p=true")
+    val b1v0 = mkData("frontier_v0/bucket_p=1/pend_p=true")
     val h0 = mkData("host_state_v0")
-    store.commit(store.Manifest(0, 0L, Map(0 -> b0v0, 1 -> b1v0),
+    store.commit(store.Manifest(0, 0L, Map("0/p" -> b0v0, "1/p" -> b1v0),
       Map("host_state" -> h0)))
-    val b0v1 = mkData("frontier_v1/bucket=0")
+    val b0v1 = mkData("frontier_v1/bucket_p=0/pend_p=true")
     val h1 = mkData("host_state_v1")
-    store.commit(store.Manifest(1, 1L, Map(0 -> b0v1, 1 -> b1v0),
+    store.commit(store.Manifest(1, 1L, Map("0/p" -> b0v1, "1/p" -> b1v0),
       Map("host_state" -> h1)))
 
     val removed = store.vacuum(keepLast = 1)
