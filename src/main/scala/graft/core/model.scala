@@ -144,6 +144,32 @@ final case class ClaimLogEntry(
     next_fetch_at: Long
 )
 
+/** One discovered-link tracking row (reference:
+  * domain/discovered_link.go:9-25, collector saveLinkToQueue
+  * link_handler.go:384-406). Persisted per batch; the queryable table is
+  * the (source_id, url_hash)-latest view with upsert semantics
+  * (discovered_link_repository.go:46-59: parent/depth/priority take the
+  * LAST write, discovered_at keeps the first). http_status/content_type
+  * are nullable and stay unset on the spider path — exactly the
+  * reference's saveLinkToQueue, whose aggregate ratios are NULL-aware.
+  */
+final case class DiscoveredLinkRow(
+    source_id: String,
+    source_name: String,
+    url: String, // normalized (the engine's canonical key)
+    url_hash: String,
+    parent_url: Option[String],
+    depth: Int,
+    domain: String,
+    http_status: Option[Int],
+    content_type: Option[String],
+    discovered_at: Long,
+    queued_at: Long,
+    status: String,
+    priority: Int,
+    batch_id: Long
+)
+
 /** Per-partition lineage metrics per micro-batch (north-rule requirement). */
 final case class LineageRow(
     batch_id: Long,

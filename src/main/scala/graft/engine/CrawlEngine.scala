@@ -21,7 +21,18 @@ final case class EngineConfig(
       */
     useBloomPrefilter: Boolean = false,
     bloomExpectedItems: Long = 1L << 20,
-    bloomFpp: Double = 0.03
+    bloomFpp: Double = 0.03,
+    /** B2: apply UrlFilter.shouldSkipUrl as a pre-submit gate in the
+      * drain, mirroring the reference's pre-fetch abort
+      * (crawler/collector.go:443-450, url_filter.go:38-65). Off by
+      * default: the oracle fixtures define parity without it; the gated
+      * parity test runs both models with it on.
+      */
+    usePreSubmitUrlFilter: Boolean = false,
+    /** Persist per-batch discovered-link rows (link_handler.go:384-406)
+      * feeding the R3/R5 domain views.
+      */
+    trackDiscoveredLinks: Boolean = true
 )
 
 /** Engine-internal rows (kept flat for stable encoders). */
@@ -320,6 +331,109 @@ final class CrawlEngine(
   def lineage(): DataFrame = readAppendTable("lineage")
   def docs(): DataFrame = readAppendTable("docs")
 
+  /** The discovered_links table: latest row per (source_id, url_hash)
+    * across batches — the set-oriented view of the reference's
+    * CreateOrUpdate upsert (discovered_link_repository.go:46-59;
+    * parent/depth/priority from the LAST write, discovered_at from the
+    * first). Group key is the 64-char hash, so at 10^10 links the shuffle
+    * ships fixed-width keys and partial-aggregates map-side.
+    */
+  def discoveredLinks(): DataFrame = {
+    val all = readAppendTable("links")
+    if (all.columns.isEmpty)
+      return spark.emptyDataset[DiscoveredLinkRow].toDF()
+      .drop("batch_id").withColumnRenamed("queued_at", "updated_at")
+    all.groupBy($"source_id", $"url_hash")
+      .agg(
+        max_by(struct($"url", $"domain", $"parent_url", $"depth",
+          $"priority", $"status", $"source_name", $"http_status",
+          $"content_type"), $"batch_id").as("last"),
+        min($"discovered_at").as("discovered_at"),
+        max($"queued_at").as("updated_at"))
+      .select($"source_id", $"last.source_name".as("source_name"),
+        $"last.url".as("url"), $"url_hash",
+        $"last.parent_url".as("parent_url"), $"last.depth".as("depth"),
+        $"last.domain".as("domain"), $"last.http_status".as("http_status"),
+        $"last.content_type".as("content_type"), $"discovered_at",
+        $"updated_at", $"last.status".as("status"),
+        $"last.priority".as("priority"))
+  }
+
+  /** R5: paginated links of one domain + total count
+    * (domain_aggregate_repository.go:132-174). url ASC tie-break added
+    * for determinism (the reference orders by discovered_at alone).
+    */
+  def linksByDomain(domain: String, limit: Int = 50, offset: Int = 0)
+      : (DataFrame, Long) = {
+    val of = discoveredLinks().filter($"domain" === domain)
+    (of.orderBy(desc("discovered_at"), asc("url"))
+       .offset(math.max(offset, 0)).limit(math.max(limit, 0)),
+      of.count())
+  }
+
+  /** R3: per-domain aggregates over discovered links
+    * (domain_aggregate_repository.go:176-243). Logic in
+    * [[DomainViews.aggregate]] (unit-tested directly).
+    */
+  def domainAggregates(
+      domainStates: Option[DataFrame] = None, // (domain, status, notes)
+      minLinkCount: Long = 0L,
+      limit: Int = 100,
+      offset: Int = 0): DataFrame =
+    DomainViews.aggregate(spark, discoveredLinks(), domainStates,
+      minLinkCount, limit, offset)
+
+  // ------------------------------------------------------------ manual ops
+
+  /** X10 ResetForRetry (frontier_repository.go:471-487): dead rows →
+    * pending with retry_count 0, last_error cleared, due immediately at
+    * the current virtual clock. Returns the number of rows reset. A
+    * manual op commits its own snapshot version; only the affected
+    * buckets are rewritten. Intended for dashboard-sized hash sets.
+    */
+  def resetForRetry(urlHashes: Set[String]): Long = {
+    if (urlHashes.isEmpty || bucketPaths.isEmpty) return 0L
+    val hit = $"url_hash".isin(urlHashes.toSeq: _*) &&
+      $"status" === FrontierStatus.Dead
+    val now = clock
+    manualRewrite(hit, df => df
+      .withColumn("status",
+        when($"hit", lit(FrontierStatus.Pending)).otherwise($"status"))
+      .withColumn("retry_count", when($"hit", lit(0)).otherwise($"retry_count"))
+      .withColumn("last_error",
+        when($"hit", lit(null).cast("string")).otherwise($"last_error"))
+      .withColumn("next_fetch_at", when($"hit", lit(now)).otherwise($"next_fetch_at"))
+      .withColumn("updated_at", when($"hit", lit(now)).otherwise($"updated_at")))
+  }
+
+  /** X10 Delete (frontier_repository.go:516-523): remove rows by
+    * url_hash. Returns the number of rows removed. The seen-set bloom (a
+    * may-contain superset) stays valid: a re-submitted deleted URL passes
+    * through the exact join and re-inserts correctly.
+    */
+  def deleteUrls(urlHashes: Set[String]): Long = {
+    if (urlHashes.isEmpty || bucketPaths.isEmpty) return 0L
+    val hit = $"url_hash".isin(urlHashes.toSeq: _*)
+    manualRewrite(hit, df => df.filter(!$"hit"))
+  }
+
+  /** Shared manual-op rewrite: find affected buckets, rewrite ONLY them
+    * with the transform applied (rows flagged `hit`), commit a snapshot.
+    */
+  private def manualRewrite(hit: org.apache.spark.sql.Column,
+      transform: DataFrame => DataFrame): Long = {
+    val affected = frontier().toDF().filter(hit)
+      .groupBy($"bucket").count().as[(Int, Long)].collect()
+    if (affected.isEmpty) return 0L
+    val affBuckets = affected.map(_._1).toSet
+    batchId += 1
+    val f2 = transform(bucketSlice(affBuckets).toDF().withColumn("hit", hit))
+      .drop("hit").withColumn("mtag", lit("keep"))
+    writeBuckets(f2, affBuckets, batchId, repartitionFirst = true)
+    commit()
+    affected.map(_._2).sum
+  }
+
   private def readAppendTable(name: String): DataFrame = {
     val dirs = (1L to batchId).map(b => store.dataPath(s"${name}_v$b"))
       .filter(p => new java.io.File(p).exists())
@@ -504,6 +618,7 @@ final class CrawlEngine(
     val maxRetries = cfg.maxRetries
     val maxDepth = cfg.maxDepth
     val robots = robotsBc
+    val preFilter = cfg.usePreSubmitUrlFilter
     val fields = frontierSchema.fieldNames
 
     // claim log (the crawl-ordering trace; in-batch order = the defined
@@ -701,6 +816,7 @@ final class CrawlEngine(
         else {
           val abs = GoUrl.absoluteUrl(o.pageUrl, href)
           if (abs.isEmpty) None
+          else if (preFilter && UrlFilter.shouldSkipUrl(abs)) None // B2 gate
           else (UrlNormalizer.normalize(abs), UrlNormalizer.urlHash(abs),
             UrlNormalizer.extractHost(abs)) match {
             case (Right(u), Right(h), Right(host)) =>
@@ -717,6 +833,35 @@ final class CrawlEngine(
         }
       }
     }
+    // discovered-link tracking sink (link_handler.go:384-406): one row per
+    // (source_id, url_hash) per batch, LAST submission in batch order wins
+    // — the append form of the reference's CreateOrUpdate upsert
+    // (discovered_link_repository.go:46-59)
+    val linksF =
+      if (!cfg.trackDiscoveredLinks) Future.unit
+      else Future(timed("links_write") {
+        submissions
+          .map(r => (r.s.source_id, r.s.url_hash, r.s.url, r.s.host,
+            r.s.parent_url, r.s.depth, r.s.priority,
+            r.negPrio, r.nfa, r.claimHash, r.li))
+          .toDF("source_id", "url_hash", "url", "domain", "parent_url",
+            "depth", "priority", "negPrio", "nfa", "claimHash", "li")
+          .groupBy($"source_id", $"url_hash")
+          .agg(max_by(
+            struct($"url", $"domain", $"parent_url", $"depth", $"priority"),
+            struct($"negPrio", $"nfa", $"claimHash", $"li")).as("last"))
+          .select($"source_id", $"source_id".as("source_name"),
+            $"last.url".as("url"), $"url_hash",
+            $"last.parent_url".as("parent_url"), $"last.depth".as("depth"),
+            $"last.domain".as("domain"),
+            lit(null).cast("int").as("http_status"),
+            lit(null).cast("string").as("content_type"),
+            lit(now).as("discovered_at"), lit(now).as("queued_at"),
+            lit("pending").as("status"), $"last.priority".as("priority"),
+            lit(bid).as("batch_id"))
+          .write.mode("overwrite").parquet(store.dataPath(s"links_v$bid"))
+      })
+
     val subAgg = aggregateSubmissions(submissions).persist()
     val subCounts: Map[Int, Long] = timed("sub_counts") {
       subAgg.groupBy($"bucket").count().as[(Int, Long)].collect().toMap }
@@ -816,6 +961,7 @@ final class CrawlEngine(
     // all sinks must be durable before the snapshot pointer moves
     Await.result(claimLogF, Duration.Inf)
     Await.result(docsF, Duration.Inf)
+    Await.result(linksF, Duration.Inf)
     Await.result(lineageF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
     commit()

@@ -33,7 +33,11 @@ final class CrawlOracle(
     userAgent: String = "graft-bot",
     maxRetries: Int = CrawlDefaults.MaxRetries,
     maxRedirects: Int = CrawlDefaults.MaxRedirects,
-    maxDepth: Int = 3
+    maxDepth: Int = 3,
+    /** B2 pre-submit URL filter (crawler/collector.go:443-450 aborts
+      * these before any fetch; url_filter.go:38-65). None = off.
+      */
+    preSubmitFilter: Option[String => Boolean] = None
 ) {
 
   final class Row(
@@ -56,7 +60,18 @@ final class CrawlOracle(
       val discoveredAt: Long
   )
 
+  /** Discovered-link tracking row (domain/discovered_link.go:9-25) with
+    * CreateOrUpdate upsert semantics (discovered_link_repository.go:46-59):
+    * parent/depth/priority take the LAST write, discoveredAt keeps the
+    * first. Keyed (source_id, url_hash); spider-origin submissions only
+    * (the reference's saveLinkToQueue runs in the collector's link
+    * handler, link_handler.go:384-406).
+    */
+  final case class OLink(url: String, domain: String, parentUrl: Option[String],
+      depth: Int, priority: Int, discoveredAt: Long, updatedAt: Long)
+
   val frontier: mutable.LinkedHashMap[String, Row] = mutable.LinkedHashMap()
+  val links: mutable.LinkedHashMap[(String, String), OLink] = mutable.LinkedHashMap()
   val hostLastFetch: mutable.Map[String, Long] = mutable.Map()
   val hostMinDelay: mutable.Map[String, Long] = mutable.Map()
   val claimLog: mutable.ArrayBuffer[ClaimLogEntry] = mutable.ArrayBuffer()
@@ -81,7 +96,13 @@ final class CrawlOracle(
     hostLastFetch.get(host).map(_ + minDelay(host)).getOrElse(Long.MinValue)
 
   /** Submit with the reference upsert semantics (frontier_repository.go:58-79). */
-  def submit(s: Submission): Unit =
+  def submit(s: Submission): Unit = {
+    if (s.origin == FrontierOrigin.Spider) {
+      val key = (s.source_id, s.url_hash)
+      val first = links.get(key).map(_.discoveredAt).getOrElse(clock)
+      links(key) = OLink(s.url, s.host, s.parent_url, s.depth, s.priority,
+        first, clock)
+    }
     frontier.get(s.url_hash) match {
       case None =>
         frontier.put(s.url_hash, new Row(s.url, s.url_hash, s.host, s.source_id,
@@ -92,6 +113,7 @@ final class CrawlOracle(
         r.nextFetchAt = math.min(r.nextFetchAt, s.next_fetch_at)
       case _ => ()
     }
+  }
 
   def submitSeeds(seeds: Seq[Seed]): Unit =
     seeds.foreach { sd =>
@@ -280,6 +302,7 @@ final class CrawlOracle(
       else {
         val abs = GoUrl.absoluteUrl(page.url, href)
         if (abs.isEmpty) None
+        else if (preSubmitFilter.exists(f => f(abs))) None // B2 gate
         else (UrlNormalizer.normalize(abs), UrlNormalizer.urlHash(abs),
           UrlNormalizer.extractHost(abs)) match {
           case (Right(u), Right(h), Right(host)) =>

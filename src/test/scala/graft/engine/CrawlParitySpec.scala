@@ -73,6 +73,22 @@ class CrawlParitySpec extends AnyFunSuite {
       assert(odocs(id)._2 == spans, s"span sequence for $id")
       assert(spans.map(_.offset) == spans.indices.map(identity), s"span order for $id")
     }
+    // discovered-links table: upsert view vs the oracle's link map
+    val elinks = e.discoveredLinks().collect().map { r =>
+      (r.getAs[String]("source_id"), r.getAs[String]("url_hash")) ->
+        ((r.getAs[String]("url"), r.getAs[String]("domain"),
+          Option(r.getAs[String]("parent_url")), r.getAs[Int]("depth"),
+          r.getAs[Int]("priority"), r.getAs[Long]("discovered_at"),
+          r.getAs[Long]("updated_at")))
+    }.toMap
+    val olinks = o.links.map { case (k, l) =>
+      k -> ((l.url, l.domain, l.parentUrl, l.depth, l.priority,
+        l.discoveredAt, l.updatedAt))
+    }.toMap
+    val ldiff = (elinks.keySet ++ olinks.keySet)
+      .filter(k => elinks.get(k) != olinks.get(k))
+    assert(ldiff.isEmpty,
+      s"discovered links differ for ${ldiff.take(3).map(k => (k, elinks.get(k), olinks.get(k)))}")
   }
 
   private def runBoth(pages: Seq[PageRow], robots: Seq[RobotsRow],
@@ -206,6 +222,64 @@ class CrawlParitySpec extends AnyFunSuite {
     val (e, o) = runBoth(pages, Nil, seeds, cfg) // crashes on read if stale
     compareAll(e, o)
     assert(e.frontier().collect().forall(_.status == FrontierStatus.Fetched))
+  }
+
+  test("B2 pre-submit filter on: engine ≡ oracle, filtered URLs never enter") {
+    val p = CorpusParams(numHosts = 5, pagesPerHost = 8, skewHosts = 1,
+      skewFactor = 2, outdegree = 4)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 6,
+      usePreSubmitUrlFilter = true)
+    val e = mkEngine(pages, robots, cfg)
+    e.seed(seeds)
+    e.runDrain()
+    val o = new CrawlOracle(pages.map(pg => pg.url_hash -> pg).toMap,
+      robots.map(r => r.host -> r).toMap, cfg.userAgent, cfg.maxRetries,
+      cfg.maxRedirects, cfg.maxDepth,
+      preSubmitFilter = Some(u => UrlFilter.shouldSkipUrl(u)))
+    o.submitSeeds(seeds)
+    o.runDrain()
+    compareAll(e, o)
+    // the corpus links /assets/... pages; the gate must keep them out
+    assert(!e.frontier().collect().exists(_.url.contains("/assets/")),
+      "CDN-asset URLs filtered pre-submit")
+    // and without the gate the same corpus DOES submit them
+    val (eOff, _) = runBoth(pages, robots, seeds,
+      cfg.copy(usePreSubmitUrlFilter = false))
+    assert(eOff.frontier().collect().exists(_.url.contains("/assets/")),
+      "corpus actually exercises the filter")
+  }
+
+  test("X10 manual ops: resetForRetry revives dead rows; deleteUrls removes") {
+    val h = "x10.example.org"
+    val pages = Seq(
+      pg(h, "/", 200, "", Seq("/gone")),
+      pg(h, "/gone", 404, "", Nil))
+    val seeds = Seq(Seed(Corpus.canonicalUrl(h, "/"), "s1"))
+    val e = mkEngine(pages, Nil, EngineConfig(numBuckets = 8, maxDepth = 3))
+    e.seed(seeds)
+    e.runDrain()
+    val gone = e.frontier().collect().find(_.status == FrontierStatus.Dead).get
+    assert(gone.last_error.contains("not_found"))
+    // reset: dead → pending, cleared error/retries, due at virtual now
+    assert(e.resetForRetry(Set(gone.url_hash)) == 1L)
+    val revived = e.frontier().collect().find(_.url_hash == gone.url_hash).get
+    assert(revived.status == FrontierStatus.Pending)
+    assert(revived.retry_count == 0 && revived.last_error.isEmpty)
+    // non-dead rows are not eligible for reset
+    val fetchedRow = e.frontier().collect().find(_.status == FrontierStatus.Fetched).get
+    assert(e.resetForRetry(Set(fetchedRow.url_hash)) == 0L)
+    // the revived row is re-claimed on the next drain and dies again
+    e.runDrain()
+    assert(e.frontier().collect().find(_.url_hash == gone.url_hash)
+      .get.status == FrontierStatus.Dead)
+    // delete removes it from state entirely; stats reflect it
+    assert(e.deleteUrls(Set(gone.url_hash)) == 1L)
+    assert(!e.frontier().collect().exists(_.url_hash == gone.url_hash))
+    assert(e.deleteUrls(Set(gone.url_hash)) == 0L)
+    assert(e.frontierStats().values.sum == 1L)
   }
 
   test("lineage: per-partition metrics recorded every batch") {
