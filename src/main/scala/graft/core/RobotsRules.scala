@@ -8,11 +8,15 @@ package graft.core
   * - body capped at 512 KB (robots.go:25)
   * - per-host rules; disallowed URL ⇒ frontier dead("robots_blocked")
   *
-  * The matcher implements the classic robots exclusion subset our corpus
-  * generates (User-agent groups, prefix Allow/Disallow, Crawl-delay) with
-  * longest-prefix-wins and allow-on-tie — the behavior of the widely used
-  * Go matcher the reference delegates to (temoto/robotstxt) for this rule
-  * subset. Wildcards are not generated by the corpus and not supported.
+  * The matcher implements the robots exclusion protocol (RFC 9309 /
+  * Google REP — the spec the reference's matcher, temoto/robotstxt,
+  * implements): User-agent groups, Allow/Disallow with `*` (any
+  * sequence) and `$` (end anchor, only at pattern end — elsewhere
+  * literal) wildcards, Crawl-delay; the MOST SPECIFIC rule wins, where
+  * specificity is the raw pattern's octet length, and allow wins ties.
+  * Plain prefixes behave exactly as before (anchored prefix match,
+  * specificity = length), so the wildcard support strictly extends the
+  * previous subset.
   */
 final case class RobotsRules(
     allowAll: Boolean,
@@ -21,20 +25,47 @@ final case class RobotsRules(
     crawlDelayMs: Option[Long]
 ) {
 
-  /** Longest-match wins; tie → allow; no match → allow. Empty Disallow
-    * lines are ignored (allow-everything markers).
+  // compiled once per JVM that evaluates the rules (broadcast-friendly)
+  @transient private lazy val allowPats = allows.map(RobotsRules.compile)
+  @transient private lazy val disallowPats = disallows.map(RobotsRules.compile)
+
+  /** Longest (most specific) match wins; tie → allow; no match → allow.
+    * Empty Disallow lines are ignored (allow-everything markers).
     */
   def isAllowed(path: String): Boolean = {
     if (allowAll) return true
     val p = if (path.isEmpty) "/" else path
-    val bestAllow = allows.filter(p.startsWith).map(_.length).maxOption.getOrElse(-1)
-    val bestDisallow = disallows.filter(p.startsWith).map(_.length).maxOption.getOrElse(-1)
-    bestAllow >= bestDisallow
+    def best(pats: Vector[(java.util.regex.Pattern, Int)]): Int =
+      pats.collect { case (rx, spec) if rx.matcher(p).find() => spec }
+        .maxOption.getOrElse(-1)
+    best(allowPats) >= best(disallowPats)
   }
 }
 
 object RobotsRules {
   val AllowAll: RobotsRules = RobotsRules(allowAll = true, Vector.empty, Vector.empty, None)
+
+  /** Compile one robots pattern to (anchored regex, specificity).
+    * `*` → `.*`; a TRAILING `$` anchors the end (elsewhere it is a
+    * literal, matching Google's parser); everything else is literal.
+    * Specificity is the raw pattern length (RFC 9309 "octets in the
+    * pattern" order).
+    */
+  private[core] def compile(pattern: String): (java.util.regex.Pattern, Int) = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '$' if i == pattern.length - 1 => sb.append('$')
+        case c if "\\^$.|?+()[]{}".indexOf(c.toInt) >= 0 =>
+          sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    (java.util.regex.Pattern.compile(sb.toString), pattern.length)
+  }
 
   /** Gate + parse per the reference's parseAndBuildEntry (robots.go:195-218). */
   def fromResponse(body: String, statusCode: Int, userAgent: String): RobotsRules =

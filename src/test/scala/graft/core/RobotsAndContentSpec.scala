@@ -38,6 +38,42 @@ class RobotsAndContentSpec extends AnyFunSuite {
     assert(!evil.isAllowed("/news/x"))
   }
 
+  test("robots: * wildcard and $ end anchor (RFC 9309 / temoto semantics)") {
+    val r = RobotsRules.parse(
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /tmp/*
+        |Allow: /tmp/keep
+        |Disallow: /fish*.php
+        |""".stripMargin, "bot")
+    // $ anchors: blocks the exact extension, not query-extended paths
+    assert(!r.isAllowed("/docs/report.pdf"))
+    assert(r.isAllowed("/docs/report.pdf?download=1"))
+    assert(r.isAllowed("/docs/report.pdfx"))
+    // * spans path segments
+    assert(!r.isAllowed("/tmp/a/b/c"))
+    assert(!r.isAllowed("/fish/deep/page.php"))
+    assert(r.isAllowed("/fishing/page.html"))
+    // longest raw pattern wins: Allow:/tmp/keep (9) > Disallow:/tmp/* (6)
+    assert(r.isAllowed("/tmp/keep"))
+    assert(r.isAllowed("/tmp/keepsake"))
+  }
+
+  test("robots: specificity ties → allow; mid-pattern $ is literal") {
+    val tie = RobotsRules.parse(
+      "User-agent: *\nDisallow: /page\nAllow: /page\n", "bot")
+    assert(tie.isAllowed("/page"))
+    val lit = RobotsRules.parse(
+      "User-agent: *\nDisallow: /a$b/\n", "bot")
+    assert(!lit.isAllowed("/a$b/x"))
+    assert(lit.isAllowed("/ab/x"))
+    // regex metacharacters in patterns stay literal
+    val meta = RobotsRules.parse(
+      "User-agent: *\nDisallow: /a.b(c)/\n", "bot")
+    assert(!meta.isAllowed("/a.b(c)/x"))
+    assert(meta.isAllowed("/aXb(c)/x"))
+  }
+
   test("robots: comments, empty disallow, and unknown directives ignored") {
     val r = RobotsRules.parse(
       "# comment\nUser-agent: *\nDisallow:\nSitemap: https://x/s.xml\n", "bot")

@@ -282,6 +282,29 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(e.frontierStats().values.sum == 1L)
   }
 
+  test("robots wildcards gate the drain: engine ≡ oracle") {
+    val h = "wc.example.org"
+    val pages = Seq(
+      pg(h, "/", 200, "", Seq("/doc.pdf", "/tmp/x", "/tmp/keep", "/news/a")),
+      pg(h, "/doc.pdf", 200, "", Nil),
+      pg(h, "/tmp/x", 200, "", Nil),
+      pg(h, "/tmp/keep", 200, "", Nil),
+      pg(h, "/news/a", 200, "", Nil))
+    val robots = Seq(RobotsRow(h,
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp/*\nAllow: /tmp/keep\n",
+      200))
+    val seeds = Seq(Seed(Corpus.canonicalUrl(h, "/"), "s1"))
+    val (e, o) = runBoth(pages, robots, seeds,
+      EngineConfig(numBuckets = 8, maxDepth = 3))
+    compareAll(e, o)
+    val byPath = e.frontier().collect()
+      .map(r => r.url.stripPrefix(s"https://$h") -> r).toMap
+    assert(byPath("/doc.pdf").last_error.contains("robots_blocked"))
+    assert(byPath("/tmp/x").last_error.contains("robots_blocked"))
+    assert(byPath("/tmp/keep").status == FrontierStatus.Fetched)
+    assert(byPath("/news/a").status == FrontierStatus.Fetched)
+  }
+
   test("lineage: per-partition metrics recorded every batch") {
     val (pages, robots, seeds) = Corpus.fixtureNewsSite()
     val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)
