@@ -95,14 +95,68 @@ object UrlFilter {
     "/solicitations/" -> "rfp", "/solicitation/" -> "rfp", "/bids/" -> "rfp"
   )
 
-  /** Returns the detected type or "" (DetectedContentUnknown). */
+  /** Returns the detected type or "" (DetectedContentUnknown). The `.pdf`
+    * report rule comes FIRST, before the pattern table — the order of
+    * detectContentTypeFromURL (content_detector.go:311-326), so
+    * `/events/brochure.pdf` is a report, not an event.
+    */
   def detectContentTypeFromUrl(rawUrl: String): String =
     GoUrl.parse(rawUrl) match {
       case Left(_) => ""
       case Right(u) =>
         val lowerPath = u.path.toLowerCase
-        urlContentTypePatterns.collectFirst {
+        if (lowerPath.endsWith(".pdf")) "report"
+        else urlContentTypePatterns.collectFirst {
           case (pat, t) if lowerPath.contains(pat) => t
-        }.getOrElse(if (lowerPath.endsWith(".pdf")) "report" else "")
+        }.getOrElse("")
     }
+
+  /** JSON-LD @type → detected content type (content_detector.go:331-340).
+    * FIXED evaluation order: the reference iterates a Go map (random
+    * order) per script, so a script containing two collectible types is
+    * nondeterministic there; this table order is the defined behavior.
+    */
+  val jsonldToDetected: Seq[(String, String)] = Seq(
+    "NewsArticle" -> "article", "Article" -> "article",
+    "BlogPosting" -> "blog_post", "PressRelease" -> "press_release",
+    "Event" -> "event", "SpecialAnnouncement" -> "advisory",
+    "Report" -> "report")
+
+  /** First non-empty detection across ld+json script bodies; substring
+    * match on `"@type":"X"` with or without one space after the colon
+    * (content_detector.go:341-358).
+    */
+  def detectContentTypeFromJsonLd(scripts: Seq[String]): String =
+    scripts.iterator.map(_.trim).filter(_.nonEmpty).map { text =>
+      jsonldToDetected.collectFirst {
+        case (t, c) if text.contains("\"@type\":\"" + t + "\"") ||
+          text.contains("\"@type\": \"" + t + "\"") => c
+      }.getOrElse("")
+    }.find(_.nonEmpty).getOrElse("")
+
+  /** Combined detection: JSON-LD, then URL patterns, then og:type=article
+    * (content_detector.go:361-374).
+    */
+  def detectContentTypeFromHtml(jsonldScripts: Seq[String], ogType: String,
+      pageUrl: String): String = {
+    val fromJsonLd = detectContentTypeFromJsonLd(jsonldScripts)
+    if (fromJsonLd.nonEmpty) fromJsonLd
+    else {
+      val fromUrl = detectContentTypeFromUrl(pageUrl)
+      if (fromUrl.nonEmpty) fromUrl
+      else if (ogType.equalsIgnoreCase("article")) "article"
+      else ""
+    }
+  }
+
+  /** Collector gate: structured content we collect, plus the content-URL
+    * heuristic fallback as plain "article" (content_detector.go:377-387).
+    */
+  def isStructuredContentPage(jsonldScripts: Seq[String], ogType: String,
+      pageUrl: String): (Boolean, String) = {
+    val ct = detectContentTypeFromHtml(jsonldScripts, ogType, pageUrl)
+    if (ct.nonEmpty) (true, ct)
+    else if (ContentUrl.isContentUrl(pageUrl)) (true, "article")
+    else (false, "")
+  }
 }

@@ -136,7 +136,7 @@ object Corpus {
 
     // ---- spans (only meaningful for fetchable HTML pages) ----
     val nSpans = 3 + rnd(p.seed, "nspans", i, j) % 5
-    val spans = (0 until nSpans).map { k =>
+    val baseSpans = (0 until nSpans).map { k =>
       if (k % 3 == 2)
         Span("media", "", s"https://cdn.example.net/i$i/p$j/img$k.jpg", k)
       else {
@@ -145,6 +145,15 @@ object Corpus {
         Span("text", s"Site $i page $j paragraph $k: $words.", "", k)
       }
     }
+    // news-class pages carry page-embedded structured data: a JSON-LD
+    // span (the corpus's stand-in for <script type="application/ld+json">)
+    // so the B3 JSON-LD detector has real input to classify
+    val spans =
+      if (path.startsWith("/news/"))
+        baseSpans :+ Span("jsonld",
+          s"""{"@type":"NewsArticle","headline":"Site $i page $j"}""",
+          "", nSpans)
+      else baseSpans
 
     // ---- outlinks (raw hrefs, variant-encoded to exercise dedup) ----
     val links = scala.collection.mutable.ArrayBuffer.empty[String]

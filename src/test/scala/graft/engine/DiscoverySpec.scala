@@ -46,6 +46,99 @@ class DiscoverySpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("F6 identity keys: platform tenants and host default (resolver.go:122-173)") {
+    assert(Discovery.identityKey("https://substack.com/foo/post")
+      == Right(("substack:foo", "platform substack tenant from path")))
+    assert(Discovery.identityKey("https://medium.com/@bar/story")
+      == Right(("medium:bar", "platform medium tenant from path")))
+    // medium without @author → empty tenant; substack subdomain → host default
+    assert(Discovery.identityKey("https://medium.com/topic/x").map(_._1)
+      == Right("medium:"))
+    assert(Discovery.identityKey("https://example.substack.com/p/x").map(_._1)
+      == Right("example.substack.com"))
+    assert(Discovery.identityKey("https://News.Example.ORG/a").map(_._1)
+      == Right("news.example.org"))
+  }
+
+  test("F6 enrichment rules: category, template hint, risk score, robots precheck") {
+    assert(Discovery.inferCategory("https://x.com/news/today", "") == "news")
+    assert(Discovery.inferCategory("https://x.com/a", "Daily News Digest") == "news")
+    assert(Discovery.inferCategory("https://x.com/blog/post", "") == "blog")
+    assert(Discovery.inferCategory("https://x.com/store/item", "") == "commerce")
+    assert(Discovery.inferCategory("https://x.com/misc", "plain title") == "blog")
+    assert(Discovery.inferTemplateHint("foo.substack.com") == "substack")
+    assert(Discovery.inferTemplateHint("medium.com") == "medium")
+    assert(Discovery.inferTemplateHint("myblog.wordpress.com") == "wordpress")
+    assert(Discovery.inferTemplateHint("example.org") == "")
+    // risk: spam 0.5 + minimal metadata 0.1; capped at 1.0
+    assert(Discovery.riskScore("https://x.com/casino-wins", "", "", adultContent = false)
+      == ((0.6, Seq("url_spam_indicator", "minimal_metadata"))))
+    assert(Discovery.riskScore("https://x.com/ok", "Title", "fav.ico", adultContent = false)
+      == ((0.0, Nil)))
+    val (capped, _) = Discovery.riskScore("https://x.com/viagra", "", "", adultContent = true)
+    assert(capped == 1.0)
+    // robots precheck: only a literal block-all line in a 200 body blocks
+    assert(!Discovery.robotsPrecheckAllowed("User-agent: *\nDisallow: /\n", 200))
+    assert(Discovery.robotsPrecheckAllowed("User-agent: *\nDisallow: /x\n", 200))
+    assert(Discovery.robotsPrecheckAllowed("Disallow: /", 404))
+  }
+
+  test("F6 resolve→dedup→enrich→persist + approved-candidate processing") {
+    def sub(u: String) = Submission(u, UrlNormalizer.sha256Hex(u),
+      GoUrl.parse(u).map(_.hostname).getOrElse(""), "ref-src",
+      FrontierOrigin.Discovered, None, 0, 5, 100L)
+    val normalized = Seq(
+      sub("https://known.example.org/start"), // existing source
+      sub("https://substack.com/alice/hello"), // platform sub candidate
+      sub("https://fresh.example.org/news/x"), // new candidate with meta
+      sub("https://fresh.example.org/news/y"), // same identity → one candidate
+      sub("https://pendingalready.example.org/a"), // pending identity → dropped
+      sub("https://blocked.example.org/a"), // robots block-all → dropped
+      sub("https://casino.example.org/win") // kept but risk-scored
+    ).toDS()
+    val existing = Seq(("known.example.org", "src-KNOWN")).toDS()
+    val pending = Seq("pendingalready.example.org").toDS()
+    val meta = Seq(("https://fresh.example.org/news/x",
+      "Fresh News", "https://fresh.example.org/favicon.ico")).toDS()
+    val (submits, cands) = Discovery.resolveEnrichCandidates(spark, normalized,
+      existing, pending, meta, Set("blocked.example.org"),
+      maxCandidates = 0, now = 100L)
+    val subOut = submits.collect()
+    assert(subOut.map(_.url).toSeq == Seq("https://known.example.org/start"))
+    assert(subOut.head.source_id == "src-KNOWN")
+    val byKey = cands.collect().map(c => c.identity_key -> c).toMap
+    assert(byKey.keySet == Set("substack:alice", "fresh.example.org",
+      "casino.example.org"))
+    assert(byKey("substack:alice").kind == "platform_sub")
+    assert(byKey("substack:alice").template_hint == "substack")
+    val fresh = byKey("fresh.example.org")
+    assert(fresh.kind == "new" && fresh.title == "Fresh News" &&
+      fresh.category == "news" && fresh.risk_score == 0.0 &&
+      fresh.canonical_url == "https://fresh.example.org/news/x") // min URL
+    assert(byKey("casino.example.org").risk_score == 0.6)
+    assert(byKey("casino.example.org").risk_reasons ==
+      Seq("url_spam_indicator", "minimal_metadata"))
+    // candidate cap keeps the first N by canonical URL
+    val (_, capped) = Discovery.resolveEnrichCandidates(spark, normalized,
+      existing, pending, meta, Set("blocked.example.org"),
+      maxCandidates = 1, now = 100L)
+    assert(capped.collect().map(_.canonical_url).toSeq ==
+      Seq("https://casino.example.org/win"))
+
+    // approval: approved rows become sources + frontier seeds, move to processing
+    val approved = cands.map(c =>
+      if (c.identity_key == "fresh.example.org") c.copy(status = "approved") else c)
+    val (sources, seeds, updated) =
+      Discovery.processApprovedCandidates(spark, approved, now = 200L)
+    val src = sources.collect()
+    assert(src.length == 1 && src.head.identity_key == "fresh.example.org")
+    val seed = seeds.collect()
+    assert(seed.length == 1 && seed.head.source_id == src.head.source_id &&
+      seed.head.origin == FrontierOrigin.Discovered && seed.head.depth == 0)
+    assert(updated.collect().count(_.status == "processing") == 1)
+    assert(updated.collect().count(_.status == "pending") == 2)
+  }
+
   test("engine read side: frontierStats + frontierList filters/paging (R1/R2)") {
     val (pages, robots, seeds) = Corpus.fixtureNewsSite()
     val store = new SnapshotStore(

@@ -55,6 +55,61 @@ class FeedIngestSpec extends AnyFunSuite {
         "https://site.example/sitemap2.xml"))))
   }
 
+  test("feed auto-discovery: link tags first, validated; common paths fallback") {
+    val base = "https://site.example/"
+    def page(url: String, status: Int = 200, body: String = "",
+        alts: Seq[(String, String)] = Nil) =
+      url -> FeedProbePage(url, status, body, alts)
+    // HTML advertises two alternates: a dead one first, then a valid one
+    val world = Map(
+      page(base, alts = Seq(
+        ("application/rss+xml", "/broken-feed"),
+        ("text/css", "/styles.css"), // wrong type: never considered
+        ("application/atom+xml", "https://site.example/real-atom"))),
+      page("https://site.example/broken-feed", body = "<html>not a feed"),
+      page("https://site.example/real-atom", body = atom))
+    assert(FeedDiscovery.discoverFeed(base, world.get)
+      == "https://site.example/real-atom")
+
+    // no link tags → well-known paths probed in order, first valid wins
+    val world2 = Map(
+      page(base),
+      page("https://site.example/feed", status = 404, body = rss),
+      page("https://site.example/rss.xml", body = rss))
+    assert(FeedDiscovery.discoverFeed(base, world2.get)
+      == "https://site.example/rss.xml")
+
+    // feeds that parse but carry zero items do not validate
+    val emptyRss = "<rss version=\"2.0\"><channel><title>E</title></channel></rss>"
+    val world3 = Map(page(base), page("https://site.example/feed", body = emptyRss))
+    assert(FeedDiscovery.discoverFeed(base, world3.get) == "")
+  }
+
+  test("feed auto-discovery sweep: distributed pass + retry-window skip") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val base1 = "https://one.example/"
+    val base2 = "https://two.example/"
+    val world = Map(
+      base1 -> FeedProbePage(base1, 200, "", Nil),
+      s"${base1.dropRight(1)}/feed" -> FeedProbePage(s"${base1}feed", 200, rss, Nil),
+      "https://one.example/feed" -> FeedProbePage("https://one.example/feed", 200, rss, Nil),
+      base2 -> FeedProbePage(base2, 200, "", Nil))
+    val sources = Seq(
+      UndiscoveredSource("s1", base1),
+      UndiscoveredSource("s2", base2),
+      UndiscoveredSource("s3", base1)).toDS()
+    val out = FeedDiscovery.discoverFeeds(spark, sources, world,
+      lastAttempt = Map("s3" -> 900L), retryAfterMs = 1000L, now = 1500L)
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map("s1" -> "https://one.example/feed", "s2" -> ""))
+    // s3 re-attempted once the window passes
+    val later = FeedDiscovery.discoverFeeds(spark, sources, world,
+      lastAttempt = Map("s3" -> 900L), retryAfterMs = 1000L, now = 2000L)
+      .collect().map(_._1).toSet
+    assert(later.contains("s3"))
+  }
+
   test("feed items submit at priority 7, sitemap at 6 (domain/frontier.go:29-34)") {
     val (subs, st) = FeedIngest.poll(
       FeedRow("s1", "https://site.example/feed.xml", rss, "", 200, "rss"),

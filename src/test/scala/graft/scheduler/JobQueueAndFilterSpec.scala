@@ -65,6 +65,39 @@ class JobQueueAndFilterSpec extends AnyFunSuite {
     assert(UrlFilter.detectContentTypeFromUrl("https://x.com/plain/page") == "")
   }
 
+  test("B3 JSON-LD / og:type detection (content_detector.go:330-387)") {
+    import UrlFilter._
+    assert(detectContentTypeFromJsonLd(
+      Seq("""{"@type":"NewsArticle","headline":"x"}""")) == "article")
+    assert(detectContentTypeFromJsonLd(Seq("""{ "@type": "Event" }""")) == "event")
+    assert(detectContentTypeFromJsonLd(Seq("", " ", """{"@type":"Recipe"}""")) == "")
+    // first script with a collectible type wins
+    assert(detectContentTypeFromJsonLd(
+      Seq("""{"@type":"BlogPosting"}""", """{"@type":"Event"}""")) == "blog_post")
+    // precedence: JSON-LD > URL patterns > og:type=article
+    assert(detectContentTypeFromHtml(Seq("""{"@type":"Report"}"""),
+      "article", "https://x.com/events/e") == "report")
+    assert(detectContentTypeFromHtml(Nil, "", "https://x.com/events/e") == "event")
+    assert(detectContentTypeFromHtml(Nil, "Article", "https://x.com/plain") == "article")
+    assert(detectContentTypeFromHtml(Nil, "website", "https://x.com/plain") == "")
+    // .pdf beats the pattern table (content_detector.go:317-319)
+    assert(detectContentTypeFromUrl("https://x.com/events/brochure.pdf") == "report")
+    // collector gate falls back to the content-URL heuristic as article
+    assert(isStructuredContentPage(Nil, "",
+      "https://x.com/2026/02/14/big-headline") == ((true, "article")))
+    assert(isStructuredContentPage(Nil, "", "https://x.com/x") == ((false, "")))
+    // corpus news pages carry a JSON-LD span the detector classifies
+    val p = graft.corpus.CorpusParams(numHosts = 3, pagesPerHost = 20)
+    val newsPages = graft.corpus.Corpus.allPages(p)
+      .filter(_.url.contains("/news/"))
+    assert(newsPages.nonEmpty)
+    newsPages.foreach { pg =>
+      val scripts = pg.spans.filter(_.kind == "jsonld").map(_.text)
+      assert(scripts.nonEmpty)
+      assert(isStructuredContentPage(scripts, "", pg.url) == ((true, "article")))
+    }
+  }
+
   test("snapshot vacuum keeps live carry-forward state, drops dead versions") {
     val dir = java.nio.file.Files.createTempDirectory("vac").toString
     val store = new SnapshotStore(dir)
