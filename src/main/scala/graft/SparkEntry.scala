@@ -216,7 +216,22 @@ object SparkEntry {
 
     // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----
     "q29_multimodal" -> ((s, d) =>
-      TextOps.multimodalFeatures(t(s, d, "documents")).orderBy("doc_id"))
+      TextOps.multimodalFeatures(t(s, d, "documents")).orderBy("doc_id")),
+
+    // ---- upsert view (the discovered_links latest-wins shape: one
+    //      hash-partitioned groupBy with max_by over the version order,
+    //      engine/CrawlEngine.discoveredLinks) ----
+    "q32_upsert_view" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(max_by(struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          min(col("ts")).as("first_seen"),
+          count(lit(1)).as("versions"))
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"), col("first_seen"),
+          col("versions"))
+        .orderBy("user_id"))
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -475,6 +490,18 @@ object SparkEntry {
       """SELECT doc_id, 'application/octet-stream' AS media_type,
                 CAST(strlen(text) AS BIGINT) AS n_bytes,
                 sha256(text) AS content_digest
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q32_upsert_view" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                value AS last_value, first_seen,
+                CAST(versions AS BIGINT) AS versions
+         FROM (SELECT user_id, event_id, event_type, value,
+                      MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+                      COUNT(*) OVER (PARTITION BY user_id) AS versions,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id"""
   )
 }

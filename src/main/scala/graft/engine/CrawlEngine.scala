@@ -4,7 +4,7 @@ import graft.core._
 import graft.state.SnapshotStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
+import graft.core.{DegradedSeenFilter, SeenFilter}
 import scala.util.hashing.MurmurHash3
 
 final case class EngineConfig(
@@ -14,12 +14,17 @@ final case class EngineConfig(
     maxDepth: Int = 3,
     userAgent: String = "graft-bot",
     maxBatches: Int = 100000,
-    /** Seen-set bloom prefilter (north rule): submissions that the filter
-      * proves unseen skip the dedup join entirely; possible hits go through
-      * the exact anti-join, which stays authoritative. Results are
+    /** Seen-set prefilter (north rule): submissions the filter proves
+      * unseen skip the dedup join entirely; possible hits go through the
+      * exact anti-join, which stays authoritative. Results are
       * bit-identical with or without (CrawlParitySpec asserts it).
       */
     useBloomPrefilter: Boolean = false,
+    /** "cuckoo" (default; supports deletion, engine rebuilds a bucket as
+      * bloom when its cuckoo table fills — the north star's "bloom
+      * fallback") or "bloom".
+      */
+    seenFilterKind: String = SeenFilter.KindCuckoo,
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.03,
     /** B2: apply UrlFilter.shouldSkipUrl as a pre-submit gate in the
@@ -186,32 +191,48 @@ final class CrawlEngine(
 
   // ------------------------------------------------------------------ bloom
 
-  /** Per-bucket seen-set blooms (sidecars). Driver-held handles at sandbox
-    * scale; the build is distributed (mapGroups per bucket — hashes never
-    * collect to the driver) and each filter persists beside its bucket's
-    * parquet, tracked in the manifest, loaded (not rebuilt) on resume.
+  /** Per-bucket seen-set filters (sidecars): cuckoo by default with a
+    * per-bucket bloom fallback at capacity, per the north star.
+    * Driver-held handles at sandbox scale; the build is distributed
+    * (mapGroups per bucket — hashes never collect to the driver) and each
+    * filter persists beside its bucket's parquet, tracked in the
+    * manifest, loaded (not rebuilt) on resume.
     */
-  private var seenBloom: Option[scala.collection.mutable.Map[Int, BloomFilter]] = None
+  private var seenBloom: Option[scala.collection.mutable.Map[Int, SeenFilter]] = None
   private var bloomPaths: Map[Int, String] = Map.empty
+  /** Buckets whose filter degraded this batch → rebuilt from the freshly
+    * written bucket parquet (the source of truth) as a BLOOM.
+    */
+  private val rebuildFilter = scala.collection.mutable.Set.empty[Int]
 
   private def bloomExpectedPerBucket: Long =
-    math.max(cfg.bloomExpectedItems / cfg.numBuckets, 1024L)
+    math.max(cfg.bloomExpectedItems / cfg.numBuckets, 16L)
 
-  private def newBloom(): BloomFilter =
-    BloomFilter.create(bloomExpectedPerBucket, cfg.bloomFpp)
+  private def newSeenFilter(): SeenFilter =
+    SeenFilter.create(cfg.seenFilterKind, bloomExpectedPerBucket, cfg.bloomFpp)
+
+  /** Put that can never lose a key: a full cuckoo degrades the bucket to
+    * always-maybe for the rest of the batch (still a correct superset)
+    * and schedules a bloom rebuild from parquet.
+    */
+  private def seenPut(m: scala.collection.mutable.Map[Int, SeenFilter],
+      b: Int, key: String): Unit = {
+    val f = m.getOrElseUpdate(b, newSeenFilter())
+    if (!f.put(key)) {
+      m(b) = new DegradedSeenFilter
+      rebuildFilter += b
+    }
+  }
 
   private def initBloom(): Unit = if (cfg.useBloomPrefilter) {
     val expected = bloomExpectedPerBucket
     val fpp = cfg.bloomFpp
+    val kind = cfg.seenFilterKind
     val built = frontier().groupByKey(_.bucket).mapGroups { (b, it) =>
-      val bf = BloomFilter.create(expected, fpp)
-      it.foreach(r => bf.putString(r.url_hash))
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      (b, bos.toByteArray)
+      (b, SeenFilter.build(kind, expected, fpp, it.map(_.url_hash)).serialize())
     }.collect()
     seenBloom = Some(scala.collection.mutable.Map(built.map { case (b, bytes) =>
-      b -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      b -> SeenFilter.deserialize(bytes)
     }: _*))
     persistBloom(built.map(_._1).toSet)
   }
@@ -225,10 +246,9 @@ final class CrawlEngine(
         val dir = java.nio.file.Paths.get(store.dataPath(s"bloom_v$batchId"))
         java.nio.file.Files.createDirectories(dir)
         buckets.foreach { b =>
-          m.get(b).foreach { bf =>
+          m.get(b).foreach { f =>
             val p = dir.resolve(s"b_$b.bloom")
-            val os = java.nio.file.Files.newOutputStream(p)
-            try bf.writeTo(os) finally os.close()
+            java.nio.file.Files.write(p, f.serialize())
             bloomPaths += b -> p.toString
           }
         }
@@ -236,10 +256,10 @@ final class CrawlEngine(
     }
 
   private def loadBloom(paths: Map[Int, String]): Unit = {
-    val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
+    val m = scala.collection.mutable.Map.empty[Int, SeenFilter]
     paths.foreach { case (b, p) =>
-      val is = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))
-      try m(b) = BloomFilter.readFrom(is) finally is.close()
+      m(b) = SeenFilter.deserialize(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
     }
     seenBloom = Some(m)
     bloomPaths = paths
@@ -414,24 +434,34 @@ final class CrawlEngine(
   def deleteUrls(urlHashes: Set[String]): Long = {
     if (urlHashes.isEmpty || bucketPaths.isEmpty) return 0L
     val hit = $"url_hash".isin(urlHashes.toSeq: _*)
-    manualRewrite(hit, df => df.filter(!$"hit"))
+    manualRewrite(hit, df => df.filter(!$"hit"), pairs =>
+      // the cuckoo seen-filter supports true deletion — the prefilter
+      // stays TIGHT after manual deletes (a bloom stays a superset,
+      // which is also correct, just looser)
+      seenBloom.foreach { m =>
+        pairs.foreach { case (b, h) => m.get(b).foreach(_.remove(h)) }
+        persistBloom(pairs.map(_._1).toSet)
+      })
   }
 
-  /** Shared manual-op rewrite: find affected buckets, rewrite ONLY them
-    * with the transform applied (rows flagged `hit`), commit a snapshot.
+  /** Shared manual-op rewrite: find affected rows, rewrite ONLY their
+    * buckets with the transform applied (rows flagged `hit`), run the
+    * side-effect hook (filter upkeep), commit a snapshot.
     */
   private def manualRewrite(hit: org.apache.spark.sql.Column,
-      transform: DataFrame => DataFrame): Long = {
+      transform: DataFrame => DataFrame,
+      onAffected: Array[(Int, String)] => Unit = _ => ()): Long = {
     val affected = frontier().toDF().filter(hit)
-      .groupBy($"bucket").count().as[(Int, Long)].collect()
+      .select($"bucket", $"url_hash").as[(Int, String)].collect()
     if (affected.isEmpty) return 0L
     val affBuckets = affected.map(_._1).toSet
     batchId += 1
     val f2 = transform(bucketSlice(affBuckets).toDF().withColumn("hit", hit))
       .drop("hit").withColumn("mtag", lit("keep"))
     writeBuckets(f2, affBuckets, batchId, repartitionFirst = true)
+    onAffected(affected)
     commit()
-    affected.map(_._2).sum
+    affected.length.toLong
   }
 
   private def readAppendTable(name: String): DataFrame = {
@@ -887,9 +917,7 @@ final class CrawlEngine(
     // a same-batch submission matching a just-re-keyed final URL would test
     // "definitely unseen" and insert a duplicate row beside the re-keyed one.
     seenBloom.foreach { m =>
-      rekeyOk.values.foreach { c =>
-        m.getOrElseUpdate(bucketOf(c.newHost), newBloom()).putString(c.newHash)
-      }
+      rekeyOk.values.foreach(c => seenPut(m, bucketOf(c.newHost), c.newHash))
     }
     val merged = mergeSubmissions(f1, subAgg, math.max(1, deltaBuckets.size))
 
@@ -929,15 +957,28 @@ final class CrawlEngine(
     })
 
     // keep the per-bucket prefilters in sync with this batch's inserts
-    // (hashes come from the same cheap readback, never a merge re-run)
+    // (hashes come from the same cheap readback, never a merge re-run);
+    // buckets whose cuckoo filled degrade this batch and rebuild HERE as
+    // blooms from the freshly written parquet — the source of truth
     seenBloom.foreach { m =>
       if (deltaLeaves.nonEmpty) {
         val inserted = spark.read.schema(insertReadSchema)
           .parquet(deltaLeaves: _*)
           .filter($"mtag" === "insert")
           .select($"bucket", $"url_hash").as[(Int, String)].collect()
-        inserted.foreach { case (b, h) =>
-          m.getOrElseUpdate(b, newBloom()).putString(h) }
+        inserted.foreach { case (b, h) => seenPut(m, b, h) }
+        if (rebuildFilter.nonEmpty) {
+          val expected = bloomExpectedPerBucket * 4
+          val fpp = cfg.bloomFpp
+          val rebuilt = bucketSlice(rebuildFilter.toSet)
+            .groupByKey(_.bucket).mapGroups { (b, it) =>
+              (b, SeenFilter.build(SeenFilter.KindBloom, expected, fpp,
+                it.map(_.url_hash)).serialize())
+            }.collect()
+          rebuilt.foreach { case (b, bytes) =>
+            m(b) = SeenFilter.deserialize(bytes) }
+          rebuildFilter.clear()
+        }
         persistBloom(inserted.map(_._1).toSet ++
           rekeyOk.values.map(c => bucketOf(c.newHost)))
       }
@@ -1020,8 +1061,8 @@ final class CrawlEngine(
     // with no filter has no rows, so "no filter" means definitely new.
     val (subJoin, subFresh) = bloomBc match {
       case Some(bf) =>
-        (subR.filter(s => bf.value.get(s.bucket).exists(_.mightContainString(s.url_hash))),
-          subR.filter(s => !bf.value.get(s.bucket).exists(_.mightContainString(s.url_hash))))
+        (subR.filter(s => bf.value.get(s.bucket).exists(_.mightContain(s.url_hash))),
+          subR.filter(s => !bf.value.get(s.bucket).exists(_.mightContain(s.url_hash))))
       case None => (subR, spark.emptyDataset[SubFirst])
     }
     val freshInserts = subFresh.map { s =>

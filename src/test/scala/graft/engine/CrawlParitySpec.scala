@@ -224,6 +224,47 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(e.frontier().collect().forall(_.status == FrontierStatus.Fetched))
   }
 
+  test("seen-filter kinds: bloom ≡ cuckoo ≡ off; cuckoo-overflow bloom fallback") {
+    val p = CorpusParams(numHosts = 5, pagesPerHost = 30, skewHosts = 1,
+      skewFactor = 2, outdegree = 3)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    val base = EngineConfig(numBuckets = 8, maxDepth = 8)
+    val (eOff, _) = runBoth(pages, robots, seeds, base)
+    def drained(cfg: EngineConfig): CrawlEngine = {
+      val e = mkEngine(pages, robots, cfg)
+      e.seed(seeds)
+      e.runDrain()
+      e
+    }
+    // explicit bloom kind
+    val eBloom = drained(base.copy(useBloomPrefilter = true,
+      seenFilterKind = graft.core.SeenFilter.KindBloom))
+    assert(engineClaims(eBloom) == engineClaims(eOff), "bloom kind claims")
+    assert(engineState(eBloom) == engineState(eOff), "bloom kind state")
+    // cuckoo forced past capacity: ONE bucket, ~16-slot table vs hundreds
+    // of URLs — the degrade + rebuild-as-bloom path must stay exact
+    val tiny = EngineConfig(numBuckets = 1, maxDepth = 8,
+      useBloomPrefilter = true, bloomExpectedItems = 16)
+    val (tinyOff, _) = runBoth(pages, robots, seeds,
+      tiny.copy(useBloomPrefilter = false))
+    val eTiny = drained(tiny)
+    assert(engineClaims(eTiny) == engineClaims(tinyOff), "fallback claims")
+    assert(engineState(eTiny) == engineState(tinyOff), "fallback state")
+    // sidecars resume: a new engine loads the persisted filters and the
+    // state reads back identically
+    val store2 = newStore()
+    val e2 = mkEngine(pages, robots, base.copy(useBloomPrefilter = true), store2)
+    e2.seed(seeds)
+    (1 to 3).foreach(_ => e2.step())
+    val e3 = mkEngine(pages, robots, base.copy(useBloomPrefilter = true), store2)
+    assert(e3.resume())
+    e3.runDrain()
+    assert(engineClaims(e3) == engineClaims(eOff), "resume-with-sidecars claims")
+    assert(engineState(e3) == engineState(eOff), "resume-with-sidecars state")
+  }
+
   test("B2 pre-submit filter on: engine ≡ oracle, filtered URLs never enter") {
     val p = CorpusParams(numHosts = 5, pagesPerHost = 8, skewHosts = 1,
       skewFactor = 2, outdegree = 4)
