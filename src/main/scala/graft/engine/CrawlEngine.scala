@@ -538,7 +538,10 @@ final class CrawlEngine(
 
   private def writeHostState(hs: Dataset[HostState], version: Long): Unit = {
     val path = store.dataPath(s"host_state_v$version")
-    hs.coalesce(1).write.mode("overwrite").parquet(path)
+    // NOT coalesce(1): a single writer task serializes the whole host
+    // table every batch regardless of parallelism — the kind of hidden
+    // serial floor that caps N→4N scaling
+    hs.write.mode("overwrite").parquet(path)
     hostStatePath = path
   }
 
@@ -862,11 +865,19 @@ final class CrawlEngine(
           }
         }
       }
-    }
+    }.persist() // link extraction+normalization runs ONCE; the frontier
+    //              aggregation and the links sink both read the cache
+
+    val subAgg = aggregateSubmissions(submissions).persist()
+    // materializes subAgg AND (pulling through it) the submissions cache
+    val subCounts: Map[Int, Long] = timed("sub_counts") {
+      subAgg.groupBy($"bucket").count().as[(Int, Long)].collect().toMap }
+
     // discovered-link tracking sink (link_handler.go:384-406): one row per
     // (source_id, url_hash) per batch, LAST submission in batch order wins
     // — the append form of the reference's CreateOrUpdate upsert
-    // (discovered_link_repository.go:46-59)
+    // (discovered_link_repository.go:46-59). Launched AFTER sub_counts so
+    // it reads the now-populated submissions cache.
     val linksF =
       if (!cfg.trackDiscoveredLinks) Future.unit
       else Future(timed("links_write") {
@@ -891,10 +902,6 @@ final class CrawlEngine(
             lit(bid).as("batch_id"))
           .write.mode("overwrite").parquet(store.dataPath(s"links_v$bid"))
       })
-
-    val subAgg = aggregateSubmissions(submissions).persist()
-    val subCounts: Map[Int, Long] = timed("sub_counts") {
-      subAgg.groupBy($"bucket").count().as[(Int, Long)].collect().toMap }
 
     // delta = claimed rows' buckets ∪ re-key old/new buckets ∪ submission
     // buckets; every other bucket's leaves carry forward untouched.
@@ -1007,6 +1014,7 @@ final class CrawlEngine(
     Await.result(hostF, Duration.Inf)
     commit()
     subAgg.unpersist()
+    submissions.unpersist()
   }
 
   /** Pre-aggregate in-batch duplicate submissions with the
