@@ -583,54 +583,79 @@ final class CrawlEngine(
     n
   }
 
-  /** One micro-batch. Returns false when no pending URLs remain. Only the
-    * pending leaves are read — settled rows never enter the claim path —
-    * and clock advance, eligibility, and the per-host claim are ONE fused
-    * job (the global min(ready_at) rides along as a 1-row cross join, and
-    * the driver reads it back off the claim rows).
+  /** One micro-batch. Returns false when no pending URLs remain.
+    *
+    * Claim path (S1 + the partial-index read): only the pending leaves
+    * are scanned, and the COMMON case filters with the LITERAL clock —
+    * `next_fetch_at <= clock` reaches the parquet scan as a pushed
+    * filter, so the due-time-sorted pending leaves skip whole row groups
+    * of backoff rows scheduled in the future. Only when nothing is
+    * eligible at the current clock (an idle jump: every pending row is a
+    * future retry or politeness-parked) does a second, rare pass compute
+    * min(ready_at) to advance the virtual clock — exactly the oracle's
+    * two-phase semantics, because rows eligible at max(clock, min) are
+    * rows eligible at `clock` when any exist, else rows at `min`.
     */
   def step(): Boolean = {
-    val hs = hostState()
-    val pending = pendingSlice()
+    claimAt(clock) match {
+      case Some((claimsDf, buckets)) =>
+        batchId += 1
+        runBatch(claimsDf, buckets)
+        true
+      case None =>
+        // idle jump or drained: one agg finds the next eligible instant
+        val minReady = withReadiness()
+          .agg(min($"ready_at")).as[Option[Long]].first()
+        minReady match {
+          case None => false // drained
+          case Some(t) =>
+            clock = math.max(clock, t)
+            claimAt(clock) match {
+              case Some((claimsDf, buckets)) =>
+                batchId += 1
+                runBatch(claimsDf, buckets)
+                true
+              case None => false // unreachable: min row is eligible
+            }
+        }
+    }
+  }
 
-    // readiness: max(next_fetch_at, host_ready) per row; min over rows is
-    // the next virtual instant anything is claimable (S1 politeness
-    // predicate, frontier_repository.go:155-157). now = max(clock, min) —
-    // rows due at-or-before `now` are eligible, exactly the old two-job
-    // (agg-then-filter) semantics.
-    val withReady = pending.join(hs.select($"host", $"last_fetch_at", $"min_delay_ms"),
+  /** pending ⋈ host_state with per-row readiness (S1 politeness
+    * predicate, frontier_repository.go:155-157).
+    */
+  private def withReadiness(): DataFrame =
+    pendingSlice()
+      .join(hostState().select($"host", $"last_fetch_at", $"min_delay_ms"),
         Seq("host"), "left")
       .withColumn("host_ready",
         coalesce($"last_fetch_at" + $"min_delay_ms", lit(Long.MinValue)))
       .withColumn("ready_at", greatest($"next_fetch_at", $"host_ready"))
-    val minDf = withReady.agg(min($"ready_at").as("m"))
-    val eligible = withReady.crossJoin(minDf)
-      .filter($"ready_at" <= greatest(lit(clock), $"m"))
 
-    // ---- S1 claim: top-1 per host over the eligible slice.
-    // An argmin AGGREGATION (min_by over the claim-order tuple) rather than
-    // a window row_number: hash aggregation does map-side partial combine,
-    // so a skewed host with 10^7 eligible rows reduces locally on every
-    // partition before the shuffle — the window form would sort that
-    // host's entire row set in one task. ----
+  /** The per-host argmin claim over rows eligible at `now`; None when
+    * nothing is eligible. An argmin AGGREGATION (min_by over the
+    * claim-order tuple) rather than a window row_number: hash aggregation
+    * does map-side partial combine, so a skewed host with 10^7 eligible
+    * rows reduces locally on every partition before the shuffle — the
+    * window form would sort that host's entire row set in one task.
+    */
+  private def claimAt(now: Long): Option[(Dataset[FrontierUrl], Set[Int])] = {
     val fields = frontierSchema.fieldNames
+    val eligible = withReadiness()
+      // both conjuncts on literal `now`: the next_fetch_at one is pushed
+      // into the pending-leaf scan (PushedFilters), the host_ready one
+      // runs post-join
+      .filter($"next_fetch_at" <= now && $"host_ready" <= now)
     val claimsDf = timed("claims") { eligible
       .groupBy($"host".as("claim_host"))
       .agg(min_by(struct(fields.map(col): _*),
-        struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"),
-        first($"m").as("m"))
-      .select($"top.*", $"m")
+        struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"))
+      .select($"top.*")
       .localCheckpoint() } // truncate lineage: every downstream plan reuses this
-    // one tiny pass over the (cached) claims: drained? clock advance?
-    // which buckets did claims touch?
-    val meta = timed("claims_meta") {
-      claimsDf.agg(min($"m"), collect_set($"bucket")).collect()(0) }
-    if (meta.isNullAt(0)) return false // no claims ⇒ no pending rows
-    clock = math.max(clock, meta.getLong(0))
-    batchId += 1
-    runBatch(claimsDf.select(fields.map(col): _*).as[FrontierUrl],
-      meta.getSeq[Int](1).toSet)
-    true
+    val buckets = timed("claims_meta") {
+      claimsDf.select("bucket").distinct().as[Int].collect().toSet }
+    if (buckets.isEmpty) None
+    else Some((claimsDf.as[FrontierUrl], buckets))
   }
 
   private val trace = sys.env.contains("GRAFT_TRACE")

@@ -177,10 +177,21 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(shingles(col("text"), n)).as("sh")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val joined = sh.as("x").join(sh.as("y"),
-        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // pairs per shared shingle WITHOUT a self-join (which would evaluate
+    // the shingle pipeline twice and shuffle both sides): group each
+    // (lang, source, shingle) into its sorted doc list and emit the
+    // in-group (a < b) pairs — |shared shingles| rows per pair, counted.
+    // The group-by key is what shards at scale; a degenerate stop-shingle
+    // shows up as one oversized group (cap/cut upstream at 100 TB).
+    val joined = sh
+      .groupBy(col("lang"), col("source"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+               y -> named_struct('a', x, 'b', y))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     joined
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
