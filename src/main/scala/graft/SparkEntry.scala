@@ -14,8 +14,9 @@ import org.apache.spark.sql.expressions.Window
   * implemented operator from SURVEY.md §2 plus the training-data pipeline
   * operators, each with DuckDB oracle SQL over the same parquet tables.
   * Column names and types are aligned between both sides (BIGINT counts,
-  * DECIMAL(18,2) money sums, ROUND(…,6) ratios) so the driver's
-  * hash-compare is deterministic.
+  * ROUND(…,2)::DOUBLE money sums — never DECIMAL outputs, which the
+  * driver's two read paths materialize differently — ROUND(…,6) ratios)
+  * so the driver's hash-compare is deterministic.
   */
 object SparkEntry {
 
@@ -65,10 +66,12 @@ object SparkEntry {
         .groupBy(col("n_name").as("nation"))
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("c_mktsegment")).as("nseg"),
-          // declared result type decimal(38,2) on BOTH sides: Spark widens a
-          // sum(decimal(18,2)) to (28,2), DuckDB to (38,2) — same values,
-          // different physical type, and the driver's hash compare sees it
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("bal"),
+          // no DECIMAL in the output: the driver's two read paths materialize
+          // parquet decimal differently (pyarrow Decimal vs DuckDB float64)
+          // and the hash compare sees it. Sum exactly in decimal, emit DOUBLE
+          // (lossless here: 2-decimal sums ≪ 2^53).
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("bal"),
           round(sum(when(col("c_acctbal") > 0, 1).otherwise(0)) /
             count(lit(1)).cast("double"), 6).as("pos_ratio"))
         .filter(col("cnt") > 10)
@@ -197,7 +200,8 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("val"))
+          round(sum(col("value").cast("decimal(18,2)")), 2)
+            .cast("double").as("val"))
         .select(col("w.start").as("wstart"), col("cnt"), col("val"))
         .orderBy("wstart")),
 
@@ -211,7 +215,8 @@ object SparkEntry {
       t(s, d, "events").groupBy("event_type")
         .agg(count(when(col("value") > 50, 1)).as("completed"),
           count(when(col("value") <= 50, 1)).as("failed"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          round(sum(col("value").cast("decimal(18,2)")), 2)
+            .cast("double").as("total_value"))
         .orderBy("event_type")),
 
     // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----
@@ -258,7 +263,7 @@ object SparkEntry {
     "q03_domain_aggregates" ->
       """SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS cnt,
                 CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nseg,
-                SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal,
+                CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal,
                 ROUND(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
                       / CAST(COUNT(*) AS DOUBLE), 6) AS pos_ratio
          FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -472,7 +477,7 @@ object SparkEntry {
 
     "q26_event_windows" ->
       """SELECT date_trunc('hour', ts) AS wstart, CAST(COUNT(*) AS BIGINT) AS cnt,
-                SUM(CAST(value AS DECIMAL(18,2))) AS val
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS val
          FROM events GROUP BY date_trunc('hour', ts) ORDER BY wstart""",
 
     "q27_adaptive_interval" ->
@@ -483,7 +488,7 @@ object SparkEntry {
       """SELECT event_type,
                 CAST(COUNT(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS completed,
                 CAST(COUNT(CASE WHEN value <= 50 THEN 1 END) AS BIGINT) AS failed,
-                SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q29_multimodal" ->
