@@ -33,9 +33,11 @@ final class CuckooFilter private (
 
   def size: Long = itemCount
 
-  /** Insert; false when the table cannot take the key (caller should
-    * fall back — the item is NOT inserted and the filter stays valid:
-    * the final displaced fingerprint is re-seated in its own slot).
+  /** Insert; false when the table cannot take the key. A failed put
+    * ROLLS BACK the kick path, so the table is exactly as before the
+    * call: the NEW key is the one left out, and every previously
+    * inserted key still answers may-contain — the SeenFilter superset
+    * contract survives a failed put.
     */
   def put(key: String): Boolean = {
     val h = hash64(key)
@@ -43,7 +45,8 @@ final class CuckooFilter private (
     val i1 = (h >>> 32).toInt & mask
     val i2 = altIndex(i1, fp)
     if (insertAt(i1, fp) || insertAt(i2, fp)) { itemCount += 1; return true }
-    // kick loop
+    // kick loop, recording each displaced position for rollback
+    val path = new Array[Int](MaxKicks)
     var i = if (nextKick() % 2 == 0) i1 else i2
     var cur = fp
     var n = 0
@@ -52,24 +55,24 @@ final class CuckooFilter private (
       val pos = i * SlotsPerBucket + slot
       val victim = table(pos)
       table(pos) = cur
+      path(n) = pos
       cur = victim
       i = altIndex(i, cur)
       if (insertAt(i, cur)) { itemCount += 1; return true }
       n += 1
     }
-    // undo is impossible without history; re-seat the last displaced
-    // fingerprint by swapping back is already guaranteed: `cur` is the
-    // only homeless fingerprint. Report failure; caller rebuilds.
-    homeless = cur
-    homelessIndex = i
+    // rollback: walk the kick path backwards re-seating every displaced
+    // fingerprint; `cur` ends as the new key's fp, left out of the table
+    var j = MaxKicks - 1
+    while (j >= 0) {
+      val pos = path(j)
+      val tmp = table(pos)
+      table(pos) = cur
+      cur = tmp
+      j -= 1
+    }
     false
   }
-
-  // a failed put leaves exactly one displaced fingerprint recorded here
-  // so the caller's rebuild can account for it (engine rebuilds from the
-  // source-of-truth parquet, so these are informational)
-  @transient private var homeless: Short = 0
-  @transient private var homelessIndex: Int = 0
 
   def mightContain(key: String): Boolean = {
     val h = hash64(key)

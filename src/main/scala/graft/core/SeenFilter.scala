@@ -17,7 +17,12 @@ import org.apache.spark.util.sketch.BloomFilter
   *   (stays a superset — still correct, just looser).
   */
 sealed trait SeenFilter extends Serializable {
-  /** false ⇒ filter at capacity and key NOT recorded (fall back). */
+  /** false ⇒ filter at capacity and key NOT recorded (fall back). The
+    * filter itself remains VALID after a failed put — every previously
+    * recorded key still answers may-contain (the cuckoo rolls its kick
+    * path back) — so callers may keep using it for lookups while they
+    * arrange the fallback.
+    */
   def put(key: String): Boolean
   def mightContain(key: String): Boolean
   /** Best-effort delete; bloom cannot and returns false. */

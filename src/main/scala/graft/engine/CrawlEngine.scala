@@ -4,7 +4,8 @@ import graft.core._
 import graft.state.SnapshotStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{DegradedSeenFilter, SeenFilter}
+import org.apache.spark.sql.expressions.Window
+import graft.core.SeenFilter
 import scala.util.hashing.MurmurHash3
 
 final case class EngineConfig(
@@ -82,7 +83,11 @@ private[engine] final case class SubRow(
 
 private[engine] final case class RekeyCandidate(
     negPrio: Int, nfa: Long, oldHash: String, oldBucket: Int, newUrl: String,
-    newHash: String, newHost: String, existsInTable: Boolean)
+    newHash: String, newHost: String, newBucket: Int)
+
+private[engine] final case class RekeyAccepted(
+    oldHash: String, newUrl: String, newHash: String, newHost: String,
+    newBucket: Int)
 
 /** The Spark-native micro-batch frontier drain (SURVEY.md §2.3/§2.4, §7).
   *
@@ -187,83 +192,86 @@ final class CrawlEngine(
   var batchId: Long = 0L
   /** Frontier leaf manifest: (bucket, isPending) -> parquet leaf dir. */
   private var bucketPaths: Map[(Int, Boolean), String] = Map.empty
-  private var hostStatePath: String = ""
+  /** Host-state leaf manifest: bucket -> parquet leaf dir. Like the
+    * frontier, a batch rewrites ONLY the buckets whose hosts it touched;
+    * the rest carry forward — the delta-bucket form of the reference's
+    * single-row host upsert (database/host_state_repository.go:46-51).
+    */
+  private var hostPaths: Map[Int, String] = Map.empty
 
   // ------------------------------------------------------------------ bloom
 
   /** Per-bucket seen-set filters (sidecars): cuckoo by default with a
-    * per-bucket bloom fallback at capacity, per the north star.
-    * Driver-held handles at sandbox scale; the build is distributed
-    * (mapGroups per bucket — hashes never collect to the driver) and each
-    * filter persists beside its bucket's parquet, tracked in the
-    * manifest, loaded (not rebuilt) on resume.
+    * per-bucket bloom fallback at capacity, per the north star. Filters
+    * LIVE WITH THEIR BUCKETS: they are built, updated, and persisted on
+    * executors (one mapGroups task per delta bucket, reading the freshly
+    * written bucket parquet); the driver holds only bucket → sidecar-file
+    * paths, tracked in the manifest and loaded lazily by the tasks that
+    * consult them. Nothing O(inserts) ever ships to the driver.
     */
-  private var seenBloom: Option[scala.collection.mutable.Map[Int, SeenFilter]] = None
   private var bloomPaths: Map[Int, String] = Map.empty
-  /** Buckets whose filter degraded this batch → rebuilt from the freshly
-    * written bucket parquet (the source of truth) as a BLOOM.
-    */
-  private val rebuildFilter = scala.collection.mutable.Set.empty[Int]
 
   private def bloomExpectedPerBucket: Long =
     math.max(cfg.bloomExpectedItems / cfg.numBuckets, 16L)
-
-  private def newSeenFilter(): SeenFilter =
-    SeenFilter.create(cfg.seenFilterKind, bloomExpectedPerBucket, cfg.bloomFpp)
-
-  /** Put that can never lose a key: a full cuckoo degrades the bucket to
-    * always-maybe for the rest of the batch (still a correct superset)
-    * and schedules a bloom rebuild from parquet.
-    */
-  private def seenPut(m: scala.collection.mutable.Map[Int, SeenFilter],
-      b: Int, key: String): Unit = {
-    val f = m.getOrElseUpdate(b, newSeenFilter())
-    if (!f.put(key)) {
-      m(b) = new DegradedSeenFilter
-      rebuildFilter += b
-    }
-  }
 
   private def initBloom(): Unit = if (cfg.useBloomPrefilter) {
     val expected = bloomExpectedPerBucket
     val fpp = cfg.bloomFpp
     val kind = cfg.seenFilterKind
+    val dir = store.dataPath(s"bloom_v$batchId")
     val built = frontier().groupByKey(_.bucket).mapGroups { (b, it) =>
-      (b, SeenFilter.build(kind, expected, fpp, it.map(_.url_hash)).serialize())
+      (b, CrawlEngine.writeFilterFile(dir, b,
+        SeenFilter.build(kind, expected, fpp, it.map(_.url_hash))))
     }.collect()
-    seenBloom = Some(scala.collection.mutable.Map(built.map { case (b, bytes) =>
-      b -> SeenFilter.deserialize(bytes)
-    }: _*))
-    persistBloom(built.map(_._1).toSet)
+    bloomPaths = built.toMap
   }
 
-  /** Write updated sidecar files for `buckets`; untouched ones carry
-    * forward at their previous version (same shape as frontier leaves).
+  private def loadFilter(path: String): SeenFilter =
+    SeenFilter.deserialize(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** Executor-side per-batch filter upkeep: one task per delta bucket
+    * reads the just-written (page-cached) bucket rows, folds this batch's
+    * inserted + re-keyed hashes into the bucket's existing filter, and
+    * persists the new sidecar FROM THE EXECUTOR. A cuckoo that fills
+    * rebuilds as a bloom over the full bucket (the rows are in hand) —
+    * the literal bloom fallback. The driver receives only (bucket, path).
     */
-  private def persistBloom(buckets: Set[Int]): Unit =
-    seenBloom.foreach { m =>
-      if (buckets.nonEmpty) {
-        val dir = java.nio.file.Paths.get(store.dataPath(s"bloom_v$batchId"))
-        java.nio.file.Files.createDirectories(dir)
-        buckets.foreach { b =>
-          m.get(b).foreach { f =>
-            val p = dir.resolve(s"b_$b.bloom")
-            java.nio.file.Files.write(p, f.serialize())
-            bloomPaths += b -> p.toString
+  private def updateFilters(deltaLeaves: Seq[String], bid: Long): Unit =
+    if (cfg.useBloomPrefilter && deltaLeaves.nonEmpty) timed("bloom_update") {
+      val dir = store.dataPath(s"bloom_v$bid")
+      val pathsBc = spark.sparkContext.broadcast(bloomPaths)
+      val expected = bloomExpectedPerBucket
+      val fpp = cfg.bloomFpp
+      val kind = cfg.seenFilterKind
+      val updated = spark.read.schema(insertReadSchema).parquet(deltaLeaves: _*)
+        .as[(Int, String, String)]
+        .groupByKey(_._1).mapGroups { (b, it) =>
+          val existingPath = pathsBc.value.get(b)
+          var f = existingPath
+            .map(p => SeenFilter.deserialize(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p))))
+            .getOrElse(SeenFilter.create(kind, expected, fpp))
+          // buffer every row hash: a mid-update overflow rebuilds the
+          // bucket's filter from the full row set in this same task
+          val all = scala.collection.mutable.ArrayBuffer.empty[String]
+          var degraded = false
+          var touched = existingPath.isEmpty
+          it.foreach { case (_, h, tag) =>
+            all += h
+            if (!degraded && (tag == "i" || tag == "rf" || tag == "rf_d")) {
+              touched = true
+              if (!f.put(h)) degraded = true
+            }
           }
-        }
-      }
+          if (degraded)
+            f = SeenFilter.build(SeenFilter.KindBloom, expected * 4, fpp,
+              all.iterator)
+          if (touched || degraded) (b, CrawlEngine.writeFilterFile(dir, b, f))
+          else (b, existingPath.get)
+        }.collect()
+      bloomPaths ++= updated
     }
-
-  private def loadBloom(paths: Map[Int, String]): Unit = {
-    val m = scala.collection.mutable.Map.empty[Int, SeenFilter]
-    paths.foreach { case (b, p) =>
-      m(b) = SeenFilter.deserialize(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
-    }
-    seenBloom = Some(m)
-    bloomPaths = paths
-  }
 
   // ----------------------------------------------------------------- state IO
 
@@ -305,9 +313,18 @@ final class CrawlEngine(
   def bucketSlice(buckets: Set[Int]): Dataset[FrontierUrl] =
     readSlice(bucketPaths.collect { case ((b, _), p) if buckets(b) => p }.toSeq)
 
-  def hostState(): Dataset[HostState] =
-    if (hostStatePath.isEmpty) spark.emptyDataset[HostState]
-    else spark.read.parquet(hostStatePath).as[HostState]
+  private lazy val hostSchema =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HostState]().schema
+
+  private def readHostSlice(paths: Seq[String]): Dataset[HostState] =
+    if (paths.isEmpty) spark.emptyDataset[HostState]
+    else spark.read.schema(hostSchema).parquet(paths.sorted: _*).as[HostState]
+
+  def hostState(): Dataset[HostState] = readHostSlice(hostPaths.values.toSeq)
+
+  /** Host rows of the given buckets only (the per-batch delta read). */
+  private def hostSlice(buckets: Set[Int]): Dataset[HostState] =
+    readHostSlice(hostPaths.collect { case (b, p) if buckets(b) => p }.toSeq)
 
   /** R2: frontier counts by status (frontier_repository.go:444-468).
     * Untyped groupBy so the scan prunes to the one column it needs.
@@ -385,7 +402,10 @@ final class CrawlEngine(
     */
   def linksByDomain(domain: String, limit: Int = 50, offset: Int = 0)
       : (DataFrame, Long) = {
-    val of = discoveredLinks().filter($"domain" === domain)
+    // one evaluation of the multi-version scan + latest-wins groupBy: the
+    // filtered view materializes once (localCheckpoint) and both the page
+    // and the total count read the materialized result
+    val of = discoveredLinks().filter($"domain" === domain).localCheckpoint()
     (of.orderBy(desc("discovered_at"), asc("url"))
        .offset(math.max(offset, 0)).limit(math.max(limit, 0)),
       of.count())
@@ -437,10 +457,18 @@ final class CrawlEngine(
     manualRewrite(hit, df => df.filter(!$"hit"), pairs =>
       // the cuckoo seen-filter supports true deletion — the prefilter
       // stays TIGHT after manual deletes (a bloom stays a superset,
-      // which is also correct, just looser)
-      seenBloom.foreach { m =>
-        pairs.foreach { case (b, h) => m.get(b).foreach(_.remove(h)) }
-        persistBloom(pairs.map(_._1).toSet)
+      // which is also correct, just looser). Manual ops are
+      // dashboard-sized, so load-modify-persist of the affected buckets'
+      // sidecars right here is the honest cost.
+      if (cfg.useBloomPrefilter && bloomPaths.nonEmpty) {
+        val dir = store.dataPath(s"bloom_v$batchId")
+        pairs.groupBy(_._1).foreach { case (b, hs) =>
+          bloomPaths.get(b).foreach { p =>
+            val f = loadFilter(p)
+            hs.foreach { case (_, h) => f.remove(h) }
+            bloomPaths += b -> CrawlEngine.writeFilterFile(dir, b, f)
+          }
+        }
       })
   }
 
@@ -457,7 +485,7 @@ final class CrawlEngine(
     val affBuckets = affected.map(_._1).toSet
     batchId += 1
     val f2 = transform(bucketSlice(affBuckets).toDF().withColumn("hit", hit))
-      .drop("hit").withColumn("mtag", lit("keep"))
+      .drop("hit").withColumn("mtag", lit("k"))
     writeBuckets(f2, affBuckets, batchId, repartitionFirst = true)
     onAffected(affected)
     commit()
@@ -526,23 +554,35 @@ final class CrawlEngine(
     }
     val subAgg = aggregateSubmissions(spark.createDataset(subs)).persist()
     val delta = subAgg.select("bucket").distinct().as[Int].collect().toSet
-    val merged = mergeSubmissions(spark.emptyDataset[FrontierUrl], subAgg,
-      math.max(1, delta.size))
+    val merged = mergeSubmissions(spark.emptyDataset[(FrontierUrl, String)],
+      subAgg, spark.emptyDataset[(Int, String)], math.max(1, delta.size))
     writeBuckets(merged.select($"_1.*", $"_2".as("mtag")), delta, 0L,
       repartitionFirst = false)
     subAgg.unpersist()
-    writeHostState(hostState(), 0L)
     commit()
     initBloom() // AFTER the seed snapshot: the filter must cover every row
   }
 
-  private def writeHostState(hs: Dataset[HostState], version: Long): Unit = {
+  /** Persist the delta buckets of the host table as bucket leaves;
+    * untouched buckets carry forward in the manifest (the frontier's
+    * delta-write shape applied to host_state — a batch touching k hosts
+    * rewrites O(k)-bucket data, never the whole host table).
+    */
+  private def writeHostBuckets(hs: Dataset[HostState], deltaBuckets: Set[Int],
+      version: Long): Unit = {
+    if (deltaBuckets.isEmpty) return
     val path = store.dataPath(s"host_state_v$version")
-    // NOT coalesce(1): a single writer task serializes the whole host
-    // table every batch regardless of parallelism — the kind of hidden
-    // serial floor that caps N→4N scaling
-    hs.write.mode("overwrite").parquet(path)
-    hostStatePath = path
+    hs.toDF().filter($"bucket".isin(deltaBuckets.toSeq: _*))
+      .repartition(math.max(1, deltaBuckets.size), $"bucket")
+      .withColumn("bucket_p", $"bucket")
+      .sortWithinPartitions($"bucket_p", $"host")
+      .write.mode("overwrite").partitionBy("bucket_p").parquet(path)
+    val updated = for {
+      b <- deltaBuckets.toSeq
+      leaf = s"$path/bucket_p=$b"
+      if java.nio.file.Files.exists(java.nio.file.Paths.get(leaf))
+    } yield b -> leaf
+    hostPaths = (hostPaths -- deltaBuckets) ++ updated
   }
 
   private def commit(): Unit =
@@ -550,7 +590,7 @@ final class CrawlEngine(
       bucketPaths.map { case ((b, pend), p) =>
         s"$b/${if (pend) "p" else "s"}" -> p
       },
-      Map("host_state" -> hostStatePath) ++
+      hostPaths.map { case (b, p) => s"host/$b" -> p } ++
         bloomPaths.map { case (b, p) => s"bloom/$b" -> p }))
 
   /** Resume from the latest committed snapshot. */
@@ -563,12 +603,14 @@ final class CrawlEngine(
           val Array(b, ps) = k.split("/", 2)
           (b.toInt, ps == "p") -> v
         }
-        hostStatePath = m.tables.getOrElse("host_state", "")
+        hostPaths = m.tables.collect {
+          case (k, v) if k.startsWith("host/") => k.stripPrefix("host/").toInt -> v
+        }
         if (cfg.useBloomPrefilter) {
           val persisted = m.tables.collect {
             case (k, v) if k.startsWith("bloom/") => k.stripPrefix("bloom/").toInt -> v
           }
-          if (persisted.nonEmpty) loadBloom(persisted) else initBloom()
+          if (persisted.nonEmpty) bloomPaths = persisted else initBloom()
         }
         true
       case None => false
@@ -585,38 +627,30 @@ final class CrawlEngine(
 
   /** One micro-batch. Returns false when no pending URLs remain.
     *
-    * Claim path (S1 + the partial-index read): only the pending leaves
-    * are scanned, and the COMMON case filters with the LITERAL clock —
-    * `next_fetch_at <= clock` reaches the parquet scan as a pushed
-    * filter, so the due-time-sorted pending leaves skip whole row groups
-    * of backoff rows scheduled in the future. Only when nothing is
-    * eligible at the current clock (an idle jump: every pending row is a
-    * future retry or politeness-parked) does a second, rare pass compute
-    * min(ready_at) to advance the virtual clock — exactly the oracle's
-    * two-phase semantics, because rows eligible at max(clock, min) are
-    * rows eligible at `clock` when any exist, else rows at `min`.
+    * Exactly two jobs find the batch's claims (the oracle's two phases):
+    * ONE min(ready_at) aggregate advances the virtual clock (rows
+    * eligible now leave it unchanged, since their ready_at ≤ clock), then
+    * ONE claim pass filters with the LITERAL advanced clock —
+    * `next_fetch_at <= clock` reaches the pending-leaf scan as a pushed
+    * filter, so the due-time-sorted leaves skip whole row groups of
+    * backoff rows scheduled in the future (S1 + the partial-index read).
+    * The previous try-claim-then-jump-then-retry shape cost an extra
+    * claim job at every politeness-parked batch boundary.
     */
   def step(): Boolean = {
-    claimAt(clock) match {
-      case Some((claimsDf, buckets)) =>
-        batchId += 1
-        runBatch(claimsDf, buckets)
-        true
-      case None =>
-        // idle jump or drained: one agg finds the next eligible instant
-        val minReady = withReadiness()
-          .agg(min($"ready_at")).as[Option[Long]].first()
-        minReady match {
-          case None => false // drained
-          case Some(t) =>
-            clock = math.max(clock, t)
-            claimAt(clock) match {
-              case Some((claimsDf, buckets)) =>
-                batchId += 1
-                runBatch(claimsDf, buckets)
-                true
-              case None => false // unreachable: min row is eligible
-            }
+    val minReady = timed("min_ready") {
+      withReadiness().agg(min($"ready_at")).as[Option[Long]].first()
+    }
+    minReady match {
+      case None => false // drained
+      case Some(t) =>
+        clock = math.max(clock, t)
+        claimAt(clock) match {
+          case Some((claimsDf, buckets)) =>
+            batchId += 1
+            runBatch(claimsDf, buckets)
+            true
+          case None => false // unreachable: the min-ready row is eligible
         }
     }
   }
@@ -646,16 +680,19 @@ final class CrawlEngine(
       // into the pending-leaf scan (PushedFilters), the host_ready one
       // runs post-join
       .filter($"next_fetch_at" <= now && $"host_ready" <= now)
-    val claimsDf = timed("claims") { eligible
+    val claimsDf = eligible
       .groupBy($"host".as("claim_host"))
       .agg(min_by(struct(fields.map(col): _*),
         struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"))
-      .select($"top.*")
-      .localCheckpoint() } // truncate lineage: every downstream plan reuses this
-    val buckets = timed("claims_meta") {
-      claimsDf.select("bucket").distinct().as[Int].collect().toSet }
-    if (buckets.isEmpty) None
-    else Some((claimsDf.as[FrontierUrl], buckets))
+      .select($"top.*").as[FrontierUrl]
+      .persist() // every downstream consumer reads the cached claims
+    // ONE action both materializes the cache and returns the touched
+    // buckets (the old shape paid a separate distinct-collect job)
+    val buckets = timed("claims") {
+      claimsDf.agg(collect_set($"bucket")).as[Seq[Int]].first().toSet
+    }
+    if (buckets.isEmpty) { claimsDf.unpersist(); None }
+    else Some((claimsDf, buckets))
   }
 
   private val trace = sys.env.contains("GRAFT_TRACE")
@@ -740,7 +777,7 @@ final class CrawlEngine(
     }
 
     // ---- X4-X6 outcome dispatch ----
-    val resolved: Dataset[Resolved] = timed("fetch_resolve") { fetchStates.map { s =>
+    val resolved: Dataset[Resolved] = fetchStates.map { s =>
       val r = s.claim
       if (s.failReason == CrawlDefaults.ReasonRobotsBlocked)
         Resolved(r, "dead", s.failReason, "", "", "", Nil, Nil, "")
@@ -777,86 +814,45 @@ final class CrawlEngine(
               "", "", "", Nil, Nil, p.url)
         }
       }
-    }.localCheckpoint() }
+    }.persist()
 
-    // ---- X7 final-URL re-key with collision fallback (23505 semantics) ----
-    val rekeyCandidates = resolved.flatMap { o =>
+    // ---- X7 final-URL re-key candidates (23505 semantics) ----
+    val rekeyCandidates: Dataset[RekeyCandidate] = resolved.flatMap { o =>
       if (o.outcome != "fetched" || o.finalUrl.isEmpty) None
       else (UrlNormalizer.normalize(o.finalUrl), UrlNormalizer.normalize(o.claim.url)) match {
         case (Right(f), Right(c)) if f != c =>
           val nh = UrlNormalizer.sha256Hex(f)
           val host = UrlNormalizer.extractHost(f).getOrElse(o.claim.host)
           Some(RekeyCandidate(-o.claim.priority, o.claim.next_fetch_at,
-            o.claim.url_hash, o.claim.bucket, f, nh, host, existsInTable = false))
+            o.claim.url_hash, o.claim.bucket, f, nh, host,
+            (MurmurHash3.stringHash(host) & 0x7fffffff) % nb))
         case _ => None
       }
     }
-    // Collect is bounded by ≤1 claim/host/batch — the same bound as the
-    // claim set itself. The existence probe reads ONLY the buckets the
+    // ONE action materializes the resolved cache AND returns the buckets
     // candidate hashes can live in (url_hash → host → bucket is
-    // deterministic) and ships only the tiny candidate list, broadcast.
-    val cand0 = timed("rekey_collect") { rekeyCandidates.collect() }
-    val existing: Set[String] =
-      if (cand0.isEmpty) Set.empty
-      else timed("rekey_probe") {
-        val candBuckets = cand0.map(c => bucketOf(c.newHost)).toSet
-        val hashDf = spark.createDataset(cand0.map(_.newHash).toSeq.distinct)
-          .toDF("url_hash")
-        bucketSlice(candBuckets).toDF()
-          .join(broadcast(hashDf), Seq("url_hash"), "left_semi")
-          .select("url_hash").as[String].collect().toSet
-      }
-    val candWithExists = cand0
-      .map(c => c.copy(existsInTable = existing.contains(c.newHash)))
-      .sortBy(c => (c.negPrio, c.nfa, c.oldHash))
-    // sequential resolution in claim order — matches the reference's
-    // per-transaction unique check (frontier_repository.go:243-253)
-    val removedOld = scala.collection.mutable.Set[String]()
-    val addedNew = scala.collection.mutable.Set[String]()
-    val rekeyOk = scala.collection.mutable.Map[String, RekeyCandidate]()
-    candWithExists.foreach { c =>
-      val exists = (c.existsInTable && !removedOld.contains(c.newHash)) ||
-        addedNew.contains(c.newHash)
-      if (!exists) {
-        rekeyOk(c.oldHash) = c
-        removedOld += c.oldHash
-        addedNew += c.newHash
-      }
+    // deterministic); candidate ROWS never collect to the driver
+    val candBuckets: Set[Int] = timed("fetch_resolve") {
+      rekeyCandidates.agg(collect_set($"newBucket")).as[Seq[Int]].first().toSet
     }
-    val rekeyBc = spark.sparkContext.broadcast(rekeyOk.toMap)
 
-    // ---- build updated frontier rows for all claims (a lazy narrow map
-    // over the checkpointed outcomes — cheap to recompute for its two
-    // consumers, so no materialization job of its own) ----
-    val updates: Dataset[FrontierUrl] = resolved.map { o =>
-      val r = o.claim
-      val base = o.outcome match {
-        case "fetched" =>
-          r.copy(status = FrontierStatus.Fetched, last_fetched_at = Some(now),
-            fetch_count = r.fetch_count + 1,
-            content_hash = if (o.contentHash.isEmpty) None else Some(o.contentHash),
-            etag = None, last_modified = None,
-            retry_count = 0, updated_at = now)
-        case "dead" =>
-          r.copy(status = FrontierStatus.Dead, last_error = Some(o.reason),
-            updated_at = now)
-        case _ => // failed: backoff uses pre-increment retry_count
-          val oldRetry = r.retry_count
-          if (oldRetry + 1 >= maxRetries)
-            r.copy(status = FrontierStatus.Dead, retry_count = oldRetry + 1,
-              last_error = Some(o.reason), updated_at = now)
-          else
-            r.copy(status = FrontierStatus.Pending, retry_count = oldRetry + 1,
-              last_error = Some(o.reason),
-              next_fetch_at = now + (1L << oldRetry) * 60000L, updated_at = now)
-      }
-      rekeyBc.value.get(r.url_hash) match {
-        case Some(c) if o.outcome == "fetched" =>
-          base.copy(url = c.newUrl, url_hash = c.newHash, host = c.newHost,
-            bucket = (MurmurHash3.stringHash(c.newHost) & 0x7fffffff) % nb)
-        case _ => base
-      }
-    }
+    // ---- S2 host_state update (fetch-attempted hosts only; reads the
+    // resolved cache, so it overlaps the whole rest of the batch). Only
+    // the claim-host buckets are rewritten; everything else carries
+    // forward (host_state_repository.go:46-51 single-row semantics) ----
+    val hostF = Future(timed("host_write") {
+      val touched = resolved
+        .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
+        .map(_.claim.host).distinct().toDF("host")
+      val newHs = hostSlice(claimsBuckets).toDF()
+        .join(touched.withColumn("t", lit(1)), Seq("host"), "full_outer")
+        .select($"host",
+          when($"t".isNotNull, lit(now)).otherwise($"last_fetch_at").as("last_fetch_at"),
+          coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"))
+        .withColumn("bucket", lit(0)) // placeholder, recomputed below
+        .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
+      writeHostBuckets(newHs, claimsBuckets, bid)
+    })
 
     // ---- docs sink (ES-index analog; one doc per fetched 200 page) ----
     val docsF = Future(timed("docs_write") {
@@ -894,18 +890,22 @@ final class CrawlEngine(
     //              aggregation and the links sink both read the cache
 
     val subAgg = aggregateSubmissions(submissions).persist()
-    // materializes subAgg AND (pulling through it) the submissions cache
-    val subCounts: Map[Int, Long] = timed("sub_counts") {
-      subAgg.groupBy($"bucket").count().as[(Int, Long)].collect().toMap }
+    // one async action materializes subAgg AND (pulling through it) the
+    // submissions cache, returning the submission buckets — it runs
+    // CONCURRENTLY with the re-key resolution below, and the result is
+    // only awaited where deltaBuckets needs it
+    val subBucketsF: Future[Set[Int]] = Future(timed("sub_buckets") {
+      subAgg.agg(collect_set($"bucket")).as[Seq[Int]].first().toSet
+    })
 
     // discovered-link tracking sink (link_handler.go:384-406): one row per
     // (source_id, url_hash) per batch, LAST submission in batch order wins
     // — the append form of the reference's CreateOrUpdate upsert
-    // (discovered_link_repository.go:46-59). Launched AFTER sub_counts so
+    // (discovered_link_repository.go:46-59). Chained AFTER sub_buckets so
     // it reads the now-populated submissions cache.
     val linksF =
       if (!cfg.trackDiscoveredLinks) Future.unit
-      else Future(timed("links_write") {
+      else subBucketsF.map(_ => timed("links_write") {
         submissions
           .map(r => (r.s.source_id, r.s.url_hash, r.s.url, r.s.host,
             r.s.parent_url, r.s.depth, r.s.priority,
@@ -928,30 +928,82 @@ final class CrawlEngine(
           .write.mode("overwrite").parquet(store.dataPath(s"links_v$bid"))
       })
 
+    // ---- distributed re-key resolution (X7, frontier_repository.go:216-263)
+    // runs on this thread while sub_buckets materializes concurrently ----
+    val noRekey = candBuckets.isEmpty
+    val (acceptedDf, rekeyBuckets, rekeyCleanup) =
+      if (noRekey) (null: DataFrame, Set.empty[Int], () => ())
+      else resolveRekeys(rekeyCandidates.toDF(), candBuckets)
+    val accDs: Dataset[RekeyAccepted] =
+      if (noRekey) spark.emptyDataset[RekeyAccepted]
+      else acceptedDf.select($"oldHash", $"newUrl", $"newHash", $"newHost",
+        $"newBucket").as[RekeyAccepted]
+
+    // ---- updated frontier rows for all claims, tagged for lineage:
+    // "f" fetched, "rf" fetched + re-keyed, "u" dead/failed/backoff. A
+    // lazy narrow map over the cached outcomes (+ a broadcast join with
+    // the accepted re-keys when any exist — never a driver-held map) ----
+    val updates0: Dataset[(FrontierUrl, String)] = resolved.map { o =>
+      val r = o.claim
+      val base = o.outcome match {
+        case "fetched" =>
+          r.copy(status = FrontierStatus.Fetched, last_fetched_at = Some(now),
+            fetch_count = r.fetch_count + 1,
+            content_hash = if (o.contentHash.isEmpty) None else Some(o.contentHash),
+            etag = None, last_modified = None,
+            retry_count = 0, updated_at = now)
+        case "dead" =>
+          r.copy(status = FrontierStatus.Dead, last_error = Some(o.reason),
+            updated_at = now)
+        case _ => // failed: backoff uses pre-increment retry_count
+          val oldRetry = r.retry_count
+          if (oldRetry + 1 >= maxRetries)
+            r.copy(status = FrontierStatus.Dead, retry_count = oldRetry + 1,
+              last_error = Some(o.reason), updated_at = now)
+          else
+            r.copy(status = FrontierStatus.Pending, retry_count = oldRetry + 1,
+              last_error = Some(o.reason),
+              next_fetch_at = now + (1L << oldRetry) * 60000L, updated_at = now)
+      }
+      (base, if (o.outcome == "fetched") "f" else "u")
+    }
+    val updates: Dataset[(FrontierUrl, String)] =
+      if (noRekey) updates0
+      else updates0.joinWith(broadcast(accDs),
+          updates0("_1.url_hash") === accDs("oldHash"), "left_outer")
+        .map { case ((f, tag), acc) =>
+          Option(acc) match {
+            case Some(a) if tag == "f" =>
+              (f.copy(url = a.newUrl, url_hash = a.newHash, host = a.newHost,
+                bucket = a.newBucket), "rf")
+            case _ => (f, tag)
+          }
+        }
+
     // delta = claimed rows' buckets ∪ re-key old/new buckets ∪ submission
     // buckets; every other bucket's leaves carry forward untouched.
-    val deltaBuckets = claimsBuckets ++ subCounts.keySet ++
-      rekeyOk.values.flatMap(c => Seq(c.oldBucket, bucketOf(c.newHost)))
+    val subBuckets = Await.result(subBucketsF, Duration.Inf)
+    val deltaBuckets = claimsBuckets ++ subBuckets ++ rekeyBuckets
 
     // ---- apply outcomes then submissions (the batch linearization) ----
     // Claim application: broadcast anti-join (claims ≤ 1/host/batch), so
     // the frontier side streams in place; only the DELTA buckets are read.
     val f0d = bucketSlice(deltaBuckets)
     // NB: a using-column join moves the key column first; re-select the
-    // canonical field order before the positional union with `updates`.
-    val f1 = f0d.toDF()
-      .join(broadcast(claims.select("url_hash")), Seq("url_hash"), "left_anti")
-      .select(fields.map(col): _*)
-      .as[FrontierUrl].union(updates)
+    // canonical field order, then pack (row, "k") WITHOUT a typed lambda
+    // (select-struct keeps the carried bulk inside Tungsten).
+    val keeps = f0d.toDF()
+      .join(broadcast(claims.toDF().select("url_hash")), Seq("url_hash"), "left_anti")
+      .select(struct(fields.map(col): _*).as("_1"), lit("k").as("_2"))
+      .as[(FrontierUrl, String)]
+    val f1 = keeps.union(updates)
 
-    // Re-keyed hashes enter the bloom BEFORE the merge: the filter must be
-    // a superset of f1's url_hashes when mergeSubmissions broadcasts it, or
-    // a same-batch submission matching a just-re-keyed final URL would test
-    // "definitely unseen" and insert a duplicate row beside the re-keyed one.
-    seenBloom.foreach { m =>
-      rekeyOk.values.foreach(c => seenPut(m, bucketOf(c.newHost), c.newHash))
-    }
-    val merged = mergeSubmissions(f1, subAgg, math.max(1, deltaBuckets.size))
+    // Accepted re-key hashes ride into the merge as explicit maybe-seen
+    // marks (a broadcast join, not driver state): a same-batch submission
+    // matching a just-re-keyed final URL must take the exact-join path or
+    // it would insert a duplicate row beside the re-keyed one.
+    val accNew: Dataset[(Int, String)] = accDs.map(a => (a.newBucket, a.newHash))
+    val merged = mergeSubmissions(f1, subAgg, accNew, math.max(1, deltaBuckets.size))
 
     // ---- the batch's ONE pass over delta data: merge → write ----
     timed("frontier_write") {
@@ -970,15 +1022,19 @@ final class CrawlEngine(
       val tagCounts: Map[(Int, String), Long] =
         if (deltaLeaves.isEmpty) Map.empty
         else spark.read.schema(tagReadSchema).parquet(deltaLeaves: _*)
-          .filter($"mtag" =!= "keep")
+          .filter($"mtag" =!= "k")
           .groupBy($"bucket", $"mtag").count()
           .as[(Int, String, Long)].collect()
           .map { case (b, t, c) => (b, t) -> c }.toMap
-      val dedupBy = tagCounts.collect { case ((b, "dedup"), c) => b -> c }
-      val insertedBy = tagCounts.collect { case ((b, "insert"), c) => b -> c }
-      val fetchedBy: Map[Int, Long] =
-        updates.toDF().filter($"status" === FrontierStatus.Fetched)
-          .groupBy($"bucket").count().as[(Int, Long)].collect().toMap
+      def sumTags(p: String => Boolean): Map[Int, Long] =
+        tagCounts.toSeq.collect { case ((b, t), c) if p(t) => (b, c) }
+          .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      // the tags carry fetch + re-key + dedup provenance, so the whole
+      // lineage (incl. urls_fetched) is ONE 2-column readback — no
+      // second evaluation of the update pipeline
+      val insertedBy = sumTags(_ == "i")
+      val dedupBy = sumTags(_.endsWith("_d"))
+      val fetchedBy = sumTags(t => t == "f" || t == "f_d" || t == "rf" || t == "rf_d")
       val lineageRows = (fetchedBy.keySet ++ insertedBy.keySet ++ dedupBy.keySet)
         .toSeq.sorted.map { b =>
           LineageRow(bid, b, insertedBy.getOrElse(b, 0L), fetchedBy.getOrElse(b, 0L),
@@ -988,48 +1044,8 @@ final class CrawlEngine(
         .write.mode("overwrite").parquet(store.dataPath(s"lineage_v$bid"))
     })
 
-    // keep the per-bucket prefilters in sync with this batch's inserts
-    // (hashes come from the same cheap readback, never a merge re-run);
-    // buckets whose cuckoo filled degrade this batch and rebuild HERE as
-    // blooms from the freshly written parquet — the source of truth
-    seenBloom.foreach { m =>
-      if (deltaLeaves.nonEmpty) {
-        val inserted = spark.read.schema(insertReadSchema)
-          .parquet(deltaLeaves: _*)
-          .filter($"mtag" === "insert")
-          .select($"bucket", $"url_hash").as[(Int, String)].collect()
-        inserted.foreach { case (b, h) => seenPut(m, b, h) }
-        if (rebuildFilter.nonEmpty) {
-          val expected = bloomExpectedPerBucket * 4
-          val fpp = cfg.bloomFpp
-          val rebuilt = bucketSlice(rebuildFilter.toSet)
-            .groupByKey(_.bucket).mapGroups { (b, it) =>
-              (b, SeenFilter.build(SeenFilter.KindBloom, expected, fpp,
-                it.map(_.url_hash)).serialize())
-            }.collect()
-          rebuilt.foreach { case (b, bytes) =>
-            m(b) = SeenFilter.deserialize(bytes) }
-          rebuildFilter.clear()
-        }
-        persistBloom(inserted.map(_._1).toSet ++
-          rekeyOk.values.map(c => bucketOf(c.newHost)))
-      }
-    }
-
-    // ---- S2 host_state update (fetch-attempted hosts only) ----
-    val hostF = Future(timed("host_write") {
-      val touched = resolved
-        .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
-        .map(_.claim.host).distinct().toDF("host")
-      val hs = hostState()
-      val newHs = hs.toDF().join(touched.withColumn("t", lit(1)), Seq("host"), "full_outer")
-        .select($"host",
-          when($"t".isNotNull, lit(now)).otherwise($"last_fetch_at").as("last_fetch_at"),
-          coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"))
-        .withColumn("bucket", lit(0)) // placeholder, recomputed below
-        .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
-      writeHostState(newHs, bid)
-    })
+    // executor-side seen-filter upkeep from the just-written delta files
+    updateFilters(deltaLeaves, bid)
 
     // all sinks must be durable before the snapshot pointer moves
     Await.result(claimLogF, Duration.Inf)
@@ -1038,8 +1054,111 @@ final class CrawlEngine(
     Await.result(lineageF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
     commit()
+    rekeyCleanup()
+    claims.unpersist()
+    resolved.unpersist()
     subAgg.unpersist()
     submissions.unpersist()
+  }
+
+  /** Distributed re-key resolution — the set-oriented form of the
+    * reference's per-transaction sequential unique check
+    * (frontier_repository.go:216-263), which the oracle replays claim by
+    * claim: candidate c (claim order pos = (-priority, next_fetch_at,
+    * url_hash)) re-keys iff its newHash is ABSENT from the live frontier
+    * at its turn — where earlier accepted re-keys have already removed
+    * their oldHash and inserted their newHash.
+    *
+    * Decomposition (provably equal to the sequential replay):
+    *   - newHash not in the frontier → the FIRST candidate per newHash
+    *     group wins; later ones see the winner's insert and fall back.
+    *   - newHash present and no candidate re-keys that row away → the
+    *     whole group falls back (nothing can free the hash).
+    *   - newHash present and freed by its unique "enabler" candidate d
+    *     (the one with oldHash == newHash; unique since claims are) →
+    *     members ordered BEFORE d fall back (not yet freed at their
+    *     turn); the first member AFTER d wins IFF d itself is accepted.
+    * Only that last conditional needs chasing: pointers strictly descend
+    * in claim order (a contested winner sits after its enabler), so the
+    * chains are acyclic and settle bottom-up; each chase round is a small
+    * broadcast join, and batches without contested groups (the norm)
+    * resolve in the single materialization action.
+    */
+  private def resolveRekeys(cand: DataFrame, candBuckets: Set[Int])
+      : (DataFrame, Set[Int], () => Unit) = {
+    // existence probe vs the pre-batch frontier: the frontier slice
+    // streams ONCE through a broadcast semi-join against the (tiny)
+    // candidate hash set — its output (`present`) is ≤ |candidates| rows,
+    // which then broadcast back onto the candidates. Candidates never
+    // collect to the driver, and the big side is never the build side.
+    val front = bucketSlice(candBuckets).toDF().select($"url_hash".as("exHash"))
+    val present = front
+      .join(broadcast(cand.select($"newHash").distinct()),
+        $"exHash" === $"newHash", "left_semi")
+    val c1 = cand.join(broadcast(present), $"newHash" === $"exHash",
+        "left_outer")
+      .withColumn("ex", $"exHash".isNotNull).drop("exHash")
+    val enab = cand.select($"oldHash".as("enabHash"),
+      $"negPrio".as("eNegPrio"), $"nfa".as("eNfa"))
+    val c2 = c1.join(broadcast(enab), $"newHash" === $"enabHash", "left_outer")
+    val w = Window.partitionBy($"newHash")
+      .orderBy($"negPrio", $"nfa", $"oldHash")
+    val posGt = struct($"negPrio", $"nfa", $"oldHash") >
+      struct($"eNegPrio", $"eNfa", $"enabHash")
+    val freeWin = c2.filter(!$"ex")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .withColumn("acc", lit(true)).withColumn("pending", lit(false))
+    val contested = c2.filter($"ex" && $"enabHash".isNotNull && posGt)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .withColumn("acc", lit(false)).withColumn("pending", lit(true))
+    val dec0 = freeWin.unionByName(contested).drop("rn").persist()
+    val (nPend, accOld, accNew) = timed("rekey_resolve") {
+      dec0.agg(
+        sum(when($"pending", 1L).otherwise(0L)),
+        collect_set(when($"acc", $"oldBucket")),
+        collect_set(when($"acc", $"newBucket")))
+        .as[(Option[Long], Seq[Int], Seq[Int])].first()
+    }
+    if (nPend.getOrElse(0L) == 0L)
+      (dec0.filter($"acc"), accOld.toSet ++ accNew.toSet, () => { dec0.unpersist(); () })
+    else timed("rekey_chase") {
+      // rare: acceptance chains through freed hashes. A pending winner's
+      // pointer (enabHash) targets a candidate that is either accepted
+      // (dec0 acc), still pending, or rejected (absent from dec0 — only
+      // winners appear). Settle bottom-up until no pending remain.
+      val accCols = Seq($"oldHash", $"oldBucket", $"newUrl", $"newHash",
+        $"newHost", $"newBucket")
+      var accepted = dec0.filter($"acc").select(accCols: _*).persist()
+      var pend = dec0.filter($"pending").select(accCols :+ $"enabHash": _*).persist()
+      var nLeft = -1L
+      var guard = 0
+      while (nLeft != 0L && guard < 64) {
+        guard += 1
+        val pendKeys = pend.select($"oldHash".as("pk"))
+        val accKeys = accepted.select($"oldHash".as("ak"))
+        val j = pend
+          .join(broadcast(pendKeys), $"enabHash" === $"pk", "left_outer")
+          .join(broadcast(accKeys), $"enabHash" === $"ak", "left_outer")
+          .persist()
+        val settledAcc = j.filter($"pk".isNull && $"ak".isNotNull).select(accCols: _*)
+        val stillPend = j.filter($"pk".isNotNull).select(accCols :+ $"enabHash": _*)
+        val nextAccepted = accepted.unionByName(settledAcc).persist()
+        val nextPend = stillPend.persist()
+        nLeft = nextPend.count()
+        accepted.unpersist(); pend.unpersist(); j.unpersist()
+        accepted = nextAccepted
+        pend = nextPend
+      }
+      if (nLeft != 0L)
+        System.err.println(s"[graft] rekey chase guard hit with $nLeft pending; " +
+          "treating the remainder as collision fallbacks")
+      val (ob, nb2) = accepted
+        .agg(collect_set($"oldBucket"), collect_set($"newBucket"))
+        .as[(Seq[Int], Seq[Int])].first()
+      val acceptedFinal = accepted
+      (acceptedFinal, ob.toSet ++ nb2.toSet,
+        () => { acceptedFinal.unpersist(); dec0.unpersist(); () })
+    }
   }
 
   /** Pre-aggregate in-batch duplicate submissions with the
@@ -1082,49 +1201,75 @@ final class CrawlEngine(
     * cached or tagged.
     */
   private def mergeSubmissions(
-      f1: Dataset[FrontierUrl],
+      f1: Dataset[(FrontierUrl, String)],
       subAgg: Dataset[SubFirst],
+      accNew: Dataset[(Int, String)], // (bucket, url_hash) of accepted re-keys
       nParts: Int
   ): Dataset[(FrontierUrl, String)] = {
-    val bloomBc = seenBloom.map(m => spark.sparkContext.broadcast(m.toMap))
     val now = clock
-    val subR = subAgg.repartition(nParts, $"bucket")
-    // bloom split: definitely-new submissions bypass the dedup join —
-    // that join's probe side shrinks to the maybe-seen subset. A bucket
-    // with no filter has no rows, so "no filter" means definitely new.
-    val (subJoin, subFresh) = bloomBc match {
-      case Some(bf) =>
-        (subR.filter(s => bf.value.get(s.bucket).exists(_.mightContain(s.url_hash))),
-          subR.filter(s => !bf.value.get(s.bucket).exists(_.mightContain(s.url_hash))))
-      case None => (subR, spark.emptyDataset[SubFirst])
-    }
-    val freshInserts = subFresh.map { s =>
-      (FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
+    def mkInsert(s: SubFirst): FrontierUrl =
+      FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
         s.parent_url, s.depth, s.priority, FrontierStatus.Pending,
         s.next_fetch_at, None, 0, None, None, None, 0, None,
-        s.next_fetch_at, now, now, s.bucket), "insert")
-    }
-    val f1r = f1.repartition(nParts, $"bucket")
+        s.next_fetch_at, now, now, s.bucket)
+    val subR = subAgg.repartition(nParts, $"bucket")
+    // seen-filter split: definitely-new submissions bypass the dedup join
+    // — its probe side shrinks to the maybe-seen subset. Filters are
+    // loaded ON EXECUTORS from the per-bucket sidecar files (the driver
+    // holds only paths); a bucket with no filter has no rows, so "no
+    // filter" means definitely new. This batch's accepted re-key hashes
+    // arrive as a broadcast join and count as maybe-seen.
+    val (subJoin, subFresh): (Dataset[SubFirst], Dataset[SubFirst]) =
+      if (!cfg.useBloomPrefilter) (subR, spark.emptyDataset[SubFirst])
+      else {
+        val pathsBc = spark.sparkContext.broadcast(bloomPaths)
+        val marked: Dataset[(SubFirst, Boolean)] = subR
+          .joinWith(broadcast(accNew),
+            subR("bucket") === accNew("_1") && subR("url_hash") === accNew("_2"),
+            "left_outer")
+          .mapPartitions { it =>
+            val cache = scala.collection.mutable.Map.empty[Int, Option[SeenFilter]]
+            it.map { case (s, rk) =>
+              val maybe = (rk != null) || cache.getOrElseUpdate(s.bucket,
+                pathsBc.value.get(s.bucket).map(p =>
+                  SeenFilter.deserialize(java.nio.file.Files.readAllBytes(
+                    java.nio.file.Paths.get(p))))).exists(_.mightContain(s.url_hash))
+              (s, maybe)
+            }
+          }
+        (marked.filter(_._2).map(_._1), marked.filter(!_._2).map(_._1))
+      }
+    val freshInserts = subFresh.map(s => (mkInsert(s), "i"))
+    val f1r = f1.repartition(nParts, $"_1.bucket")
     f1r.joinWith(subJoin,
-        f1r("bucket") === subJoin("bucket") &&
-          f1r("url_hash") === subJoin("url_hash"), "full_outer")
+        f1r("_1.bucket") === subJoin("bucket") &&
+          f1r("_1.url_hash") === subJoin("url_hash"), "full_outer")
       .map { case (fOrNull, sOrNull) =>
         (Option(fOrNull), Option(sOrNull)) match {
-          case (Some(f), Some(s)) =>
+          case (Some((f, p)), Some(s)) =>
             if (f.status == FrontierStatus.Pending)
               (f.copy(priority = math.max(f.priority, s.priority),
                 next_fetch_at = math.min(f.next_fetch_at, s.next_fetch_at),
-                updated_at = now), "dedup")
-            else (f, "dedup")
-          case (Some(f), None) => (f, "keep")
-          case (None, Some(s)) =>
-            (FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
-              s.parent_url, s.depth, s.priority, FrontierStatus.Pending,
-              s.next_fetch_at, None, 0, None, None, None, 0, None,
-              s.next_fetch_at, now, now, s.bucket), "insert")
+                updated_at = now), p + "_d")
+            else (f, p + "_d")
+          case (Some((f, p)), None) => (f, p)
+          case (None, Some(s)) => (mkInsert(s), "i")
           case (None, None) => sys.error("unreachable full-outer row")
         }
       }
       .union(freshInserts)
+  }
+}
+
+private[engine] object CrawlEngine {
+  /** Executor-safe sidecar write: create the version dir (idempotent,
+    * concurrent-safe) and persist one bucket's serialized filter.
+    */
+  def writeFilterFile(dir: String, bucket: Int, f: SeenFilter): String = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val p = d.resolve(s"b_$bucket.bloom")
+    java.nio.file.Files.write(p, f.serialize())
+    p.toString
   }
 }

@@ -125,10 +125,22 @@ final class SnapshotStore(rootDir: String) {
     val dataDir = root.resolve("data")
     Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
       val name = d.getFileName.toString
-      val isState = name.startsWith("frontier_v") || name.startsWith("host_state_v")
+      // STATE dirs: frontier buckets, host-state buckets, and the
+      // seen-filter sidecars (bloom_v*) — all carry-forward tables whose
+      // liveness comes from the kept manifests.
+      val isState = name.startsWith("frontier_v") ||
+        name.startsWith("host_state_v") || name.startsWith("bloom_v")
       if (isState) {
         if (!isLive(d)) { deleteRecursively(d); removed += 1 }
-        else if (name.startsWith("frontier_v")) {
+        else if (name.startsWith("bloom_v")) {
+          // sidecar dirs hold one flat file per touched bucket; prune the
+          // files individual newer snapshots have superseded
+          Files.list(d).iterator().asScala.toSeq.foreach { f =>
+            if (!live.contains(f.normalize.toString)) {
+              Files.delete(f); removed += 1
+            }
+          }
+        } else {
           // prune dead partition subtrees inside partially-live versions
           def prune(dir: Path): Unit =
             Files.list(dir).iterator().asScala.toSeq.foreach { sub =>

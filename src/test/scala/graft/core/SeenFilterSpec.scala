@@ -67,6 +67,24 @@ class SeenFilterSpec extends AnyFunSuite {
     assert(ks.forall(g.mightContain))
   }
 
+  test("failed put rolls back: previously inserted keys never go missing") {
+    // tiny table, overfill until put fails; the may-contain superset
+    // contract must hold for every key that WAS inserted (regression: the
+    // kick loop used to strand the last displaced victim outside the table)
+    val cf = CuckooFilter.create(64)
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failures = 0
+    keys(4000, "ovf").foreach { k =>
+      if (cf.put(k)) inserted += k else failures += 1
+    }
+    assert(failures > 0, "test must drive the filter past capacity")
+    assert(inserted.forall(cf.mightContain),
+      "no inserted key may answer definitely-unseen after failed puts")
+    assert(cf.size == inserted.size, "failed puts must not change size")
+    // the filter stays usable: deletes of inserted keys still succeed
+    assert(cf.remove(inserted.head))
+  }
+
   test("non-hex keys hash through md5 (general-string support)") {
     val cf = CuckooFilter.create(100)
     assert(cf.put("https://example.org/plain-url"))

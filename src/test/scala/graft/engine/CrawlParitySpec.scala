@@ -224,6 +224,79 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(e.frontier().collect().forall(_.status == FrontierStatus.Fetched))
   }
 
+  test("collision-heavy re-keys: distributed resolution ≡ sequential replay") {
+    // Every re-key branch the static fetch model can reach, most in ONE
+    // batch (distinct hosts ⇒ all claimed together), against the oracle's
+    // claim-by-claim sequential unique check
+    // (frontier_repository.go:216-263):
+    //  - 3-way FRESH contest: s0,s1,s2 all 301 → t.ex/t0 (absent from the
+    //    frontier). First in claim order ((-prio, nfa, url_hash)) wins the
+    //    hash; the other two fall back to their old keys.
+    //  - chain contest: c0 301 → m.ex/hop 301 → t.ex/t1 and c1 301 →
+    //    t.ex/t1 — different chains, SAME final URL, same contest rules.
+    //  - present-hash fallback: p0 301 → q.ex/home, which is seeded (its
+    //    hash is live in the frontier and nothing frees it) → p0 keeps
+    //    its old key, marked fetched.
+    //  - cross-batch fallback: lh.ex/a (batch 1) links to lh.ex/b, which
+    //    is claimed in batch 2 and redirects to t.ex/t0 — by then the
+    //    batch-1 winner OWNS that hash → fallback.
+    val cu = Corpus.canonicalUrl _
+    val contest0 = Seq("s0.example.org", "s1.example.org", "s2.example.org")
+    val pages = Seq(
+      pg("t.example.org", "/t0", 200, "", Nil),
+      pg("t.example.org", "/t1", 200, "", Nil),
+      pg("m.example.org", "/hop", 301, cu("t.example.org", "/t1"), Nil),
+      pg("c0.example.org", "/old", 301, cu("m.example.org", "/hop"), Nil),
+      pg("c1.example.org", "/old", 301, cu("t.example.org", "/t1"), Nil),
+      pg("p0.example.org", "/old", 301, cu("q.example.org", "/home"), Nil),
+      pg("q.example.org", "/home", 200, "", Nil),
+      pg("lh.example.org", "/a", 200, "", Seq("/b")),
+      pg("lh.example.org", "/b", 301, cu("t.example.org", "/t0"), Nil)) ++
+      contest0.map(h => pg(h, "/old", 301, cu("t.example.org", "/t0"), Nil))
+    val seeds = (contest0.map(h => cu(h, "/old")) ++ Seq(
+      cu("c0.example.org", "/old"), cu("c1.example.org", "/old"),
+      cu("p0.example.org", "/old"), cu("q.example.org", "/home"),
+      cu("lh.example.org", "/a"))).zipWithIndex
+      .map { case (u, i) => Seed(u, s"s$i") }
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 3)
+    val (e, o) = runBoth(pages, Nil, seeds, cfg)
+    compareAll(e, o)
+    val rows = e.frontier().collect().map(r => r.url_hash -> r).toMap
+    // t0 contest: winner = least url_hash among the three seeds (equal
+    // priority and next_fetch_at ⇒ url_hash breaks the tie)
+    val h0 = contest0.map(h => UrlNormalizer.sha256Hex(cu(h, "/old"))).sorted
+    val t0Hash = UrlNormalizer.sha256Hex(cu("t.example.org", "/t0"))
+    assert(!rows.contains(h0.head), "t0 winner re-keyed away from its old hash")
+    assert(rows(t0Hash).url == cu("t.example.org", "/t0"))
+    assert(rows(t0Hash).host == "t.example.org")
+    h0.tail.foreach { h =>
+      assert(rows(h).status == FrontierStatus.Fetched, "t0 loser fell back")
+    }
+    // t1 contest: exactly one of c0/c1 owns the hash, the other fell back
+    val t1Hash = UrlNormalizer.sha256Hex(cu("t.example.org", "/t1"))
+    val cHashes = Seq("c0.example.org", "c1.example.org")
+      .map(h => UrlNormalizer.sha256Hex(cu(h, "/old")))
+    assert(rows.contains(t1Hash), "t1 hash owned by a re-keyed row")
+    assert(cHashes.count(rows.contains) == 1, "exactly one chain loser fell back")
+    // present-hash fallback: p0 keeps its key, q/home keeps its row
+    val pHash = UrlNormalizer.sha256Hex(cu("p0.example.org", "/old"))
+    assert(rows(pHash).status == FrontierStatus.Fetched)
+    assert(rows(UrlNormalizer.sha256Hex(cu("q.example.org", "/home"))).url ==
+      cu("q.example.org", "/home"))
+    // cross-batch fallback: lh/b fetched under its OLD hash in batch ≥ 2
+    val lhb = UrlNormalizer.sha256Hex(cu("lh.example.org", "/b"))
+    assert(rows(lhb).status == FrontierStatus.Fetched, "lh/b fell back")
+    val lhbClaim = e.claimLog().as[ClaimLogEntry].collect()
+      .find(_.url_hash == lhb).get
+    assert(lhbClaim.batch_id >= 2, "lh/b claimed after the t0 contest batch")
+    // the seen-filter path must agree bit-for-bit under the same contests
+    val eOn = mkEngine(pages, Nil, cfg.copy(useBloomPrefilter = true))
+    eOn.seed(seeds)
+    eOn.runDrain()
+    assert(engineClaims(eOn) == engineClaims(e), "filter-on claims")
+    assert(engineState(eOn) == engineState(e), "filter-on state")
+  }
+
   test("seen-filter kinds: bloom ≡ cuckoo ≡ off; cuckoo-overflow bloom fallback") {
     // 5×14 pages ≈ 80+ distinct URLs: enough to overflow the ~30-slot
     // tiny cuckoo below while keeping the 4-drain test quick
