@@ -160,14 +160,18 @@ object SparkEntry {
         .orderBy("doc_id", "k")),
 
     "q18_minhash_lsh_pairs" -> ((s, d) =>
-      TextOps.minhashLshPairs(t(s, d, "documents"), 8, 4, 3)
+      // maxBucket ACTIVE (64): degenerate band buckets are cut, with the
+      // identical cut in the oracle SQL — defined semantics, not trim
+      TextOps.minhashLshPairs(t(s, d, "documents"), 8, 4, 3, maxBucket = 64L)
         .orderBy("a", "b")),
 
     "q19_simhash" -> ((s, d) =>
       TextOps.simhash16(t(s, d, "documents")).orderBy("doc_id")),
 
     "q30_ngram_jaccard" -> ((s, d) =>
-      TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 0.05)
+      // stop-shingle cut ACTIVE (df > 64 dropped from intersections AND
+      // sizes), identically in the oracle SQL
+      TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 0.05, maxDocFreq = 64L)
         .orderBy("a", "b")),
 
     // ---- similarity search ----
@@ -219,9 +223,16 @@ object SparkEntry {
             .cast("double").as("total_value"))
         .orderBy("event_type")),
 
-    // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----
+    // ---- multimodal plumbing (opaque-binary carrier; byte metadata) ----
     "q29_multimodal" -> ((s, d) =>
       TextOps.multimodalFeatures(t(s, d, "documents")).orderBy("doc_id")),
+
+    // ---- multimodal DECODE (real javax.imageio round-trip: Spark
+    //      measures width/height/mean from the decoded raster, the
+    //      oracle predicts them from the construction formula) ----
+    "q33_image_decode" -> ((s, d) =>
+      graft.ops.ImageOps.imageFeatures(t(s, d, "documents"))
+        .orderBy("doc_id")),
 
     // ---- upsert view (the discovered_links latest-wins shape: one
     //      hash-partitioned groupBy with max_by over the version order,
@@ -357,10 +368,15 @@ object SparkEntry {
           banded AS (
             SELECT doc_id, (k // 2) AS band,
                    md5(MIN(minhash) || '|' || MAX(minhash)) AS band_hash
-            FROM sig GROUP BY doc_id, (k // 2))
+            FROM sig GROUP BY doc_id, (k // 2)),
+          bsz AS (
+            SELECT band, band_hash, CAST(COUNT(*) AS BIGINT) AS c
+            FROM banded GROUP BY band, band_hash)
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM banded x JOIN banded y
             ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+          JOIN bsz z ON x.band = z.band AND x.band_hash = z.band_hash
+          WHERE z.c <= 64
           ORDER BY a, b""",
 
     "q19_simhash" ->
@@ -374,7 +390,13 @@ object SparkEntry {
           FROM bits GROUP BY doc_id ORDER BY doc_id""",
 
     "q30_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT DISTINCT * FROM ($shingleSub)),
+      s"""WITH sh0 AS (SELECT DISTINCT * FROM ($shingleSub)),
+          df AS (SELECT lang, source, sh, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM sh0 GROUP BY lang, source, sh),
+          sh AS (SELECT s.* FROM sh0 s
+                 JOIN df f ON s.lang = f.lang AND s.source = f.source
+                          AND s.sh = f.sh
+                 WHERE f.df <= 64),
           sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
           inter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
                     FROM sh x JOIN sh y ON x.lang = y.lang AND x.source = y.source
@@ -495,6 +517,17 @@ object SparkEntry {
       """SELECT doc_id, 'application/octet-stream' AS media_type,
                 CAST(strlen(text) AS BIGINT) AS n_bytes,
                 sha256(text) AS content_digest
+         FROM documents ORDER BY doc_id""",
+
+    // Spark DECODES synthesized PNGs (javax.imageio) and measures these
+    // from the raster; the oracle predicts them from the construction
+    // arithmetic — match ⇒ the encode→decode round-trip is faithful.
+    "q33_image_decode" ->
+      """SELECT doc_id, 'image/png' AS media_type,
+                CAST(2 + doc_id % 16 AS INT) AS width,
+                CAST(2 + (doc_id // 16) % 8 AS INT) AS height,
+                CAST((2 + doc_id % 16) * (2 + (doc_id // 16) % 8) AS BIGINT) AS n_px,
+                CAST(doc_id % 256 AS BIGINT) AS mean_luma
          FROM documents ORDER BY doc_id""",
 
     "q32_upsert_view" ->

@@ -117,12 +117,17 @@ object TextOps {
     * each bucket. ONE shuffle total — the bucket groupBy — which is what
     * shards at scale; no self-join (a self-join would evaluate the
     * signature pipeline twice, once per side) and no all-pairs comparison.
-    * `maxBucket` (off by default) drops degenerate buckets — e.g. the
-    * empty-document band — whose quadratic pair blow-up would dominate at
-    * 100 TB; when it fires, the drop is explicit, not silent truncation.
+    * `maxBucket` (ON by default — the 100 TB guard) drops degenerate
+    * buckets — e.g. the empty-document band — whose quadratic pair
+    * blow-up would otherwise dominate: a bucket of m docs emits m²/2
+    * pairs, and a single pathological band key (all-empty documents, a
+    * boilerplate page repeated site-wide) can hold millions of docs.
+    * The drop is an explicit parameter with defined semantics
+    * ("candidates among buckets of ≤ maxBucket docs"), mirrored in the
+    * oracle SQL — not a silent truncation. Pass Long.MaxValue to disable.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-      shingleLen: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
+      shingleLen: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     val rows = k / bands
     // band b's key = md5(min | max) over its signature slice; `let1` binds
     // the signature column so it can never be re-inlined per band.
@@ -171,21 +176,39 @@ object TextOps {
     * |A∩B| / |A∪B| over distinct word n-grams. Blocking keys bound the
     * pair count; the distinct-shingle explode + co-group is the
     * shuffle-partitionable form.
+    *
+    * `maxDocFreq` is the STOP-SHINGLE cut — the 100 TB guard: a shingle
+    * shared by m documents emits m²/2 pair rows, so one ubiquitous
+    * phrase ("click here to read") turns the group-by into a quadratic
+    * hot spot. Shingles whose document frequency (within the block)
+    * exceeds the cut are dropped from BOTH the intersection counting and
+    * the per-doc set sizes — the semantics become "Jaccard over
+    * informative shingles", identical on the Spark and oracle sides, an
+    * explicit parameter rather than a silent truncation. Hot shingles
+    * carry no near-dup signal (everyone shares them), so recall on real
+    * near-dups is essentially untouched while the worst-case cost drops
+    * from O(m²) to O(maxDocFreq²) per shingle.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1,
+      maxDocFreq: Long = 10000L): DataFrame = {
     val sh = docs
       .select(col("doc_id"), col("lang"), col("source"),
         explode(shingles(col("text"), n)).as("sh")).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pairs per shared shingle WITHOUT a self-join (which would evaluate
     // the shingle pipeline twice and shuffle both sides): group each
     // (lang, source, shingle) into its sorted doc list and emit the
     // in-group (a < b) pairs — |shared shingles| rows per pair, counted.
-    // The group-by key is what shards at scale; a degenerate stop-shingle
-    // shows up as one oversized group (cap/cut upstream at 100 TB).
-    val joined = sh
+    // ONE shuffle builds the groups; sizes re-derive from the (small)
+    // grouped lists instead of a second pass over the shingle explode.
+    val grouped = sh
       .groupBy(col("lang"), col("source"), col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      // stop-shingle cut. No persist: both consumers share the identical
+      // aggregate subtree, so ReuseExchange serves the shuffle once.
+      .filter(size(col("ids")) <= maxDocFreq)
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val joined = grouped
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -245,6 +268,18 @@ object TextOps {
     embeddings.select(size(col("embedding")).as("d")).filter(col("d") > 0)
       .take(1).headOption.map(_.getInt(0))
 
+  /** Fixed-dimension contract made explicit: a non-empty vector whose
+    * dimensionality differs from the sampled `dim` raises at execution —
+    * zip_with would silently null-pad it and flip bucket bits otherwise
+    * (a silent parity break vs the per-dim oracle). CASE WHEN guarantees
+    * the error branch only evaluates on violating rows.
+    */
+  private def dimGuard(op: String, dim: Int): Column = expr(
+    s"""CASE WHEN size(embedding) = $dim THEN true
+        ELSE cast(raise_error(concat('graft.$op: ragged embedding: dim ',
+          size(embedding), ' != sampled $dim at vec_id ', vec_id)) as boolean)
+        END""")
+
   def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
     val dim = headDim(embeddings).getOrElse(
       return embeddings.select(col("vec_id"), lit(0L).as("bucket")).limit(0))
@@ -258,6 +293,7 @@ object TextOps {
                    THEN cast(1 as bigint) ELSE cast(-1 as bigint) END))""").as("w"))
     embeddings
       .filter(size(col("embedding")) > 0) // explode-form semantics kept
+      .filter(dimGuard("lshBuckets", dim))
       .crossJoin(broadcast(wDf))
       .select(col("vec_id"), expr(
         s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
@@ -301,6 +337,7 @@ object TextOps {
                   cast(0 as bigint), (a, z) -> a + z) > 0
               THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""")
     val emb = embeddings.filter(size(col("embedding")) > 0)
+      .filter(dimGuard("annLshTopK", dim))
       .crossJoin(broadcast(wDf))
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"),

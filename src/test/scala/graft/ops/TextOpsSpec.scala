@@ -88,6 +88,52 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("stop-shingle cut: a hot shingle drops from intersections AND sizes") {
+    // 10 docs share the hot phrase "hot common phrase"; docs 20/21 also
+    // share a rare tail. With maxDocFreq < 10 the hot shingle must stop
+    // contributing: 20/21's Jaccard is computed over their OTHER shingles
+    // only, and hot-phrase-only doc pairs vanish entirely.
+    val hot = "hot common phrase"
+    val many = (30L until 38L).map(i => (i, s"$hot filler$i", "en", "s0", 20L))
+    val d = (Seq(
+      (20L, s"$hot rare tail one two", "en", "s0", 30L),
+      (21L, s"$hot rare tail one three", "en", "s0", 30L)) ++ many)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cut = TextOps.ngramJaccardPairs(d, 3, 0.01, maxDocFreq = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 20: shingles (cut) = {hot rare tail→no wait} — compute: tokens
+    // "hot common phrase rare tail one two" → 3-shingles: "hot common
+    // phrase"(df=10, CUT), "common phrase rare"(df=2), "phrase rare
+    // tail"(df=2), "rare tail one"(df=2), "tail one two"(df=1) ⇒ sz=4;
+    // doc 21 symmetric; intersection = 3 ⇒ jaccard = 3/(4+4-3) = 0.6
+    assert(cut((20L, 21L)) == 0.6, s"jaccard over informative shingles: $cut")
+    // no hot-phrase-only pairs survive the cut
+    assert(!cut.keySet.exists(p => p._1 >= 30L),
+      s"hot-shingle pairs excluded: ${cut.keySet}")
+    // without the cut the hot shingle DOES pair the filler docs
+    val raw = TextOps.ngramJaccardPairs(d, 3, 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.exists(p => p._1 >= 30L), "corpus actually exercises the cut")
+  }
+
+  test("minhash LSH maxBucket: a degenerate bucket stops emitting pairs") {
+    // 12 identical docs land in the SAME bucket in every band; with
+    // maxBucket = 8 the bucket is cut and no pairs emit, while a normal
+    // near-dup pair in a small bucket survives.
+    val clones = (50L until 62L).map(i => (i, "identical boilerplate page text", "en", "s0", 30L))
+    val d = (clones ++ Seq(
+      (70L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+      (71L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cut = TextOps.minhashLshPairs(d, 8, 4, 3, maxBucket = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.contains((70L, 71L)), "small-bucket pair survives")
+    assert(!cut.exists(p => p._1 < 62L), s"degenerate bucket cut: $cut")
+    val raw = TextOps.minhashLshPairs(d, 8, 4, 3, maxBucket = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.exists(p => p._1 < 62L), "corpus actually exercises the cap")
+  }
+
   test("cosine top-k: self-similar vectors rank first, ties broken by vec_id") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
