@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,9 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * CollapseProject can never duplicate the work (it refuses to inline
   * non-cheap expressions with multiple references, and downstream band
   * projections reference the signature many times).
+  *
+  * `doGenCode` generates that same one call via a plan reference —
+  * real codegen, not CodegenFallback, so the host Project stays inside
+  * its whole-stage span (a fallback expression disqualifies the whole
+  * operator from codegen, splitting the stage around it).
   */
 case class MinhashSignatureExpr(child: Expression, shingleLen: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(shingleLen >= 1 && k >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -42,8 +47,19 @@ case class MinhashSignatureExpr(child: Expression, shingleLen: Int, k: Int)
     Array.tabulate(k)(j => ("#" + j).getBytes("US-ASCII"))
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashExpr", this,
+        classOf[MinhashSignatureExpr].getName)
+      s"${ev.value} = $ref.evalText($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Shared kernel for the interpreted and generated paths. */
+  final def evalText(input: UTF8String): ArrayData = {
+    val text = input.toString
     val toks = text.split(" ", -1) // Spark split keeps trailing empties
     val n = toks.length
     val nSh = math.max(n - shingleLen, 0) + 1

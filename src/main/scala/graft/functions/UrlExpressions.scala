@@ -3,7 +3,7 @@ package graft.functions
 import graft.core.UrlNormalizer
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -11,22 +11,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * §2.9/§7.3 stretch): unlike a ScalaUDF these skip the row
   * encoder/closure plumbing — null-safe eval straight on UTF8String —
   * and sit inside the plan as first-class expressions (prunable,
-  * constant-foldable when the child is foldable). `doGenCode` is
-  * delegated to CodegenFallback: the bodies are full parsers, so the
-  * win codegen could add is the call overhead only.
+  * constant-foldable when the child is foldable).
+  *
+  * Real `doGenCode` (not CodegenFallback): the body is a full parser, so
+  * the generated code is a single call into [[evalUtf8]] via a plan
+  * reference — but that one line is the difference between the whole
+  * stage compiling into one span and CollapseCodegenStages refusing the
+  * entire Project (a CodegenFallback expression disqualifies its host
+  * operator, splitting the stage and re-materializing rows around it).
   *
   * Errors (unparseable URLs) evaluate to null, which declarative
   * pipelines filter naturally — same contract as UrlUdfs.
   */
-abstract class UrlStringExpression extends UnaryExpression with CodegenFallback {
+abstract class UrlStringExpression extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   protected def transform(s: String): Either[String, String]
-  override def nullSafeEval(input: Any): Any =
-    transform(input.asInstanceOf[UTF8String].toString) match {
+  /** Shared kernel for the interpreted and generated paths. */
+  final def evalUtf8(input: UTF8String): UTF8String =
+    transform(input.toString) match {
       case Right(v) => UTF8String.fromString(v)
       case Left(_)  => null
     }
+  override def nullSafeEval(input: Any): Any =
+    evalUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("urlExpr", this,
+        classOf[UrlStringExpression].getName)
+      s"""
+         |${ev.value} = $ref.evalUtf8($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 }
 
 case class NormalizeUrlExpr(child: Expression) extends UrlStringExpression {
