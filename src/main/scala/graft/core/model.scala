@@ -84,12 +84,19 @@ final case class FrontierUrl(
     bucket: Int
 )
 
-/** Per-host politeness state (reference: domain/frontier.go:73-82). */
+/** Per-host politeness state (reference: domain/frontier.go:73-82) plus
+  * the per-host robots cache (host_state_repository.go:55-70: robots_txt
+  * + fetched-at, re-fetched when the TTL lapses). Robots fields are None
+  * until the host's robots are first served in keyed-robots mode.
+  */
 final case class HostState(
     host: String,
     last_fetch_at: Option[Long],
     min_delay_ms: Long,
-    bucket: Int
+    bucket: Int,
+    robots_body: Option[String] = None,
+    robots_status: Option[Int] = None,
+    robots_fetched_at: Option[Long] = None
 )
 
 /** A submission into the frontier (reference: database/frontier_repository.go:44-53). */
@@ -128,6 +135,28 @@ final case class RobotsRow(host: String, body: String, status_code: Int)
 
 /** A seed-list entry (discovery/pipeline.go:369-379: depth 0, priority 5). */
 final case class Seed(url: String, source_id: String)
+
+/** Source-registry entry (the reference resolves discovered-link
+  * source_name from the source config, link_handler.go:396
+  * `cc.Source.Name`). Small keyed table persisted in the snapshot
+  * manifest; unregistered ids fall back to the id itself.
+  */
+final case class SourceEntry(source_id: String, name: String)
+
+/** Curated per-domain review state (discovered_domain_states,
+  * database/domain_state_repository.go: statuses active | ignored |
+  * reviewing | promoted, upsert keeps created_at, status-specific
+  * timestamps set on transition). Virtual-clock timestamps.
+  */
+final case class DomainStateRow(
+    domain: String,
+    status: String,
+    notes: Option[String],
+    created_at: Long,
+    updated_at: Long,
+    ignored_at: Option[Long],
+    promoted_at: Option[Long]
+)
 
 /** One claim-log entry — the crawl-ordering trace compared against the
   * oracle (FIXTURES.md §3). The in-batch order is DEFINED by

@@ -38,7 +38,17 @@ final case class EngineConfig(
     /** Persist per-batch discovered-link rows (link_handler.go:384-406)
       * feeding the R3/R5 domain views.
       */
-    trackDiscoveredLinks: Boolean = true
+    trackDiscoveredLinks: Boolean = true,
+    /** Keyed robots state (fetcher/robots.go:19 24h TTL;
+      * host_state_repository.go:55-70 caches robots_txt per host): each
+      * batch serves claim hosts from the robots cache in host_state and
+      * re-fetches only hosts whose TTL lapsed, so a robots change takes
+      * effect after at most TTL of virtual time. Off = fixture mode (the
+      * per-drain static broadcast): identical results whenever robots
+      * never change mid-drain (CrawlParitySpec asserts both).
+      */
+    useKeyedRobotsState: Boolean = false,
+    robotsTtlMs: Long = 24L * 3600L * 1000L
 )
 
 /** Engine-internal rows (kept flat for stable encoders). */
@@ -89,6 +99,10 @@ private[engine] final case class RekeyAccepted(
     oldHash: String, newUrl: String, newHash: String, newHost: String,
     newBucket: Int)
 
+/** Effective robots for one claim host this batch (keyed-robots mode). */
+private[engine] final case class RobotsEff(host: String, body: String,
+    status: Int, fetched_at: Long, refreshed: Boolean)
+
 /** The Spark-native micro-batch frontier drain (SURVEY.md §2.3/§2.4, §7).
   *
   * Each micro-batch is the deterministic linearization defined by the
@@ -128,7 +142,13 @@ final class CrawlEngine(
     store: SnapshotStore,
     pages: Dataset[PageRow],
     robotsRows: Seq[RobotsRow],
-    cfg: EngineConfig = EngineConfig()
+    cfg: EngineConfig = EngineConfig(),
+    /** Robots changes over virtual time: (effective-from, row). The
+      * fixture stand-in for "the server's robots.txt changed mid-crawl";
+      * only the keyed-robots mode observes them (after its TTL lapses),
+      * exactly like the reference's cached robots (fetcher/robots.go:19).
+      */
+    robotsUpdates: Seq[(Long, RobotsRow)] = Nil
 ) extends Serializable {
 
   import spark.implicits._
@@ -141,6 +161,16 @@ final class CrawlEngine(
     r.host -> RobotsRules.fromResponse(r.body, r.status_code, cfg.userAgent)
   }.toMap
   private val robotsBc = spark.sparkContext.broadcast(robotsMap)
+
+  /** The robots "web server" as a function of virtual time: initial rows
+    * effective from the beginning, updates from their instant. Broadcast
+    * once; consulted only for hosts whose cached TTL lapsed.
+    */
+  private lazy val robotsTimelineBc
+      : org.apache.spark.broadcast.Broadcast[Map[String, Seq[(Long, RobotsRow)]]] =
+    spark.sparkContext.broadcast(
+      (robotsRows.map(r => (Long.MinValue, r)) ++ robotsUpdates)
+        .groupBy(_._2.host).map { case (h, xs) => h -> xs.sortBy(_._1) })
 
   /** Corpus pre-partitioned AND pre-sorted ONCE by the fetch-join key:
     * the cached scan keeps both the partitioning and the ordering, so the
@@ -420,8 +450,95 @@ final class CrawlEngine(
       minLinkCount: Long = 0L,
       limit: Int = 100,
       offset: Int = 0): DataFrame =
-    DomainViews.aggregate(spark, discoveredLinks(), domainStates,
+    DomainViews.aggregate(spark, discoveredLinks(),
+      domainStates.orElse(
+        if (domainStatesPath.isEmpty) None
+        else Some(this.domainStates().toDF()
+          .select("domain", "status", "notes"))),
       minLinkCount, limit, offset)
+
+  // ------------------------------------------------ curation tables (small)
+
+  /** Source registry + curated domain states: keyed tables of config /
+    * dashboard cardinality, persisted as single manifest-tracked leaves
+    * and upserted whole — the honest cost at their size (the frontier's
+    * delta-bucket machinery would be overhead here, not savings). Both
+    * survive resume via the manifest like every other state table.
+    */
+  private var sourcesPath: String = ""
+  private var domainStatesPath: String = ""
+  /** Curation tables version independently of batchId: bumping batchId
+    * here would shift claim-log batch numbering away from the oracle's.
+    * Restored from the persisted path suffixes on resume.
+    */
+  private var curationVersion: Long = 0L
+  private def nextCurationPath(name: String): String = {
+    curationVersion += 1
+    store.dataPath(s"${name}_c$curationVersion")
+  }
+  private def parseCurationVersion(path: String): Long =
+    "_c(\\d+)$".r.findFirstMatchIn(path).map(_.group(1).toLong).getOrElse(0L)
+  /** source_id → display name, broadcast to the links sink. */
+  private var sourceNamesBc
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] =
+    spark.sparkContext.broadcast(Map.empty[String, String])
+
+  private lazy val sourceSchema =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SourceEntry]().schema
+  private lazy val domainStateSchema =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[DomainStateRow]().schema
+
+  def sources(): Dataset[SourceEntry] =
+    if (sourcesPath.isEmpty) spark.emptyDataset[SourceEntry]
+    else spark.read.schema(sourceSchema).parquet(sourcesPath).as[SourceEntry]
+
+  /** Upsert source-registry entries (latest name wins per id). The links
+    * sink resolves discovered_links.source_name through this registry
+    * (link_handler.go:396 `cc.Source.Name`); unregistered ids fall back
+    * to the id.
+    */
+  def registerSources(entries: Seq[SourceEntry]): Unit = {
+    if (entries.isEmpty) return
+    val merged = sourceNamesBc.value ++ entries.map(e => e.source_id -> e.name)
+    val path = nextCurationPath("sources")
+    merged.toSeq.map { case (id, n) => SourceEntry(id, n) }.toDS()
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    sourcesPath = path
+    sourceNamesBc = spark.sparkContext.broadcast(merged)
+    commit()
+  }
+
+  def domainStates(): Dataset[DomainStateRow] =
+    if (domainStatesPath.isEmpty) spark.emptyDataset[DomainStateRow]
+    else spark.read.schema(domainStateSchema).parquet(domainStatesPath)
+      .as[DomainStateRow]
+
+  /** Bulk domain-state upsert (domain_state_repository.go Upsert /
+    * BulkUpsert): status + notes take the new values, created_at is kept
+    * on conflict, and the status-specific timestamp (ignored_at /
+    * promoted_at) is stamped with the virtual clock on transition.
+    * Returns the number of domains written.
+    */
+  def upsertDomainStates(domains: Seq[String], status: String,
+      notes: Option[String] = None): Long = {
+    if (domains.isEmpty) return 0L
+    val now = clock
+    val current = domainStates().collect().map(d => d.domain -> d).toMap
+    val updated = domains.distinct.map { dom =>
+      val prev = current.get(dom)
+      dom -> DomainStateRow(dom, status, notes,
+        prev.map(_.created_at).getOrElse(now), now,
+        if (status == "ignored") Some(now) else prev.flatMap(_.ignored_at),
+        if (status == "promoted") Some(now) else prev.flatMap(_.promoted_at))
+    }
+    val merged = current ++ updated
+    val path = nextCurationPath("domain_states")
+    merged.values.toSeq.sortBy(_.domain).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    domainStatesPath = path
+    commit()
+    domains.distinct.size.toLong
+  }
 
   // ------------------------------------------------------------ manual ops
 
@@ -591,7 +708,11 @@ final class CrawlEngine(
         s"$b/${if (pend) "p" else "s"}" -> p
       },
       hostPaths.map { case (b, p) => s"host/$b" -> p } ++
-        bloomPaths.map { case (b, p) => s"bloom/$b" -> p }))
+        bloomPaths.map { case (b, p) => s"bloom/$b" -> p } ++
+        (if (sourcesPath.isEmpty) Map.empty
+         else Map("sources" -> sourcesPath)) ++
+        (if (domainStatesPath.isEmpty) Map.empty
+         else Map("domain_states" -> domainStatesPath))))
 
   /** Resume from the latest committed snapshot. */
   def resume(): Boolean =
@@ -606,6 +727,13 @@ final class CrawlEngine(
         hostPaths = m.tables.collect {
           case (k, v) if k.startsWith("host/") => k.stripPrefix("host/").toInt -> v
         }
+        sourcesPath = m.tables.getOrElse("sources", "")
+        domainStatesPath = m.tables.getOrElse("domain_states", "")
+        curationVersion = math.max(parseCurationVersion(sourcesPath),
+          parseCurationVersion(domainStatesPath))
+        if (sourcesPath.nonEmpty)
+          sourceNamesBc = spark.sparkContext.broadcast(
+            sources().collect().map(e => e.source_id -> e.name).toMap)
         if (cfg.useBloomPrefilter) {
           val persisted = m.tables.collect {
             case (k, v) if k.startsWith("bloom/") => k.stripPrefix("bloom/").toInt -> v
@@ -734,9 +862,7 @@ final class CrawlEngine(
     //      + X3 redirect-chain resolution (fetcher/redirect.go:16-23) in one
     //      distributed pass using the broadcast redirect topology ----
     val redirects = redirectBc
-    val gated: Dataset[FetchState] = claims.map { r =>
-      val path = GoUrl.parse(r.url).map(_.path).getOrElse("/")
-      val allowed = robots.value.getOrElse(r.host, RobotsRules.AllowAll).isAllowed(path)
+    def gateAndChain(r: FrontierUrl, allowed: Boolean): FetchState =
       if (!allowed) FetchState(r, 0, "", CrawlDefaults.ReasonRobotsBlocked, None)
       else {
         var hash = r.url_hash
@@ -749,6 +875,52 @@ final class CrawlEngine(
         }
         FetchState(r, hops, hash, fail, None)
       }
+
+    // Keyed-robots mode: claim hosts are served from the robots cache in
+    // host_state; only hosts whose TTL lapsed consult the (broadcast)
+    // robots timeline at `now`. All joins are claim-host-sized broadcasts;
+    // the host slice streams once. Refreshed entries persist with the
+    // batch's host write.
+    val robotsEffDs: Option[Dataset[RobotsEff]] =
+      if (!cfg.useKeyedRobotsState) None
+      else Some(timed("robots_state") {
+        val ttl = cfg.robotsTtlMs
+        val tl = robotsTimelineBc
+        val ch = claims.map(_.host).distinct().toDF("host")
+        val cached = hostSlice(claimsBuckets).toDF()
+          .select($"host", $"robots_body", $"robots_status", $"robots_fetched_at")
+          .join(broadcast(ch), Seq("host"), "left_semi")
+        val eff = ch.join(broadcast(cached), Seq("host"), "left_outer")
+          .as[(String, Option[String], Option[Int], Option[Long])]
+          .map { case (h, b, st, fa) =>
+            if (fa.exists(_ + ttl > now))
+              RobotsEff(h, b.getOrElse(""), st.getOrElse(404), fa.get,
+                refreshed = false)
+            else {
+              val row = tl.value.get(h)
+                .flatMap(_.takeWhile(_._1 <= now).lastOption).map(_._2)
+              RobotsEff(h, row.map(_.body).getOrElse(""),
+                row.map(_.status_code).getOrElse(404), now, refreshed = true)
+            }
+          }.persist()
+        eff.count() // materialize once; the gate + host write both read it
+        eff
+      })
+
+    val ua = cfg.userAgent
+    val gated: Dataset[FetchState] = robotsEffDs match {
+      case None => claims.map { r =>
+        val path = GoUrl.parse(r.url).map(_.path).getOrElse("/")
+        gateAndChain(r,
+          robots.value.getOrElse(r.host, RobotsRules.AllowAll).isAllowed(path))
+      }
+      case Some(eff) =>
+        claims.joinWith(broadcast(eff), claims("host") === eff("host"))
+          .map { case (r, e) =>
+            val path = GoUrl.parse(r.url).map(_.path).getOrElse("/")
+            gateAndChain(r,
+              RobotsRules.fromResponse(e.body, e.status, ua).isAllowed(path))
+          }
     }
 
     // the fetch I/O stage: per-claim broadcast-map probe (the honest model
@@ -844,11 +1016,30 @@ final class CrawlEngine(
       val touched = resolved
         .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
         .map(_.claim.host).distinct().toDF("host")
+        .withColumn("t", lit(1))
+      // upserts = fetch-attempted hosts ∪ robots-refreshed hosts (a
+      // robots-blocked host still persists its refreshed cache, exactly
+      // like the reference caching robots regardless of the verdict);
+      // both sides are claim-host-sized
+      val upserts = robotsEffDs match {
+        case None => touched
+          .withColumn("r_body", lit(null).cast("string"))
+          .withColumn("r_status", lit(null).cast("int"))
+          .withColumn("r_fat", lit(null).cast("bigint"))
+        case Some(eff) => touched.join(
+            eff.filter(_.refreshed).toDF()
+              .select($"host", $"body".as("r_body"), $"status".as("r_status"),
+                $"fetched_at".as("r_fat")),
+            Seq("host"), "full_outer")
+      }
       val newHs = hostSlice(claimsBuckets).toDF()
-        .join(touched.withColumn("t", lit(1)), Seq("host"), "full_outer")
+        .join(upserts, Seq("host"), "full_outer")
         .select($"host",
           when($"t".isNotNull, lit(now)).otherwise($"last_fetch_at").as("last_fetch_at"),
-          coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"))
+          coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"),
+          coalesce($"r_body", $"robots_body").as("robots_body"),
+          coalesce($"r_status", $"robots_status").as("robots_status"),
+          coalesce($"r_fat", $"robots_fetched_at").as("robots_fetched_at"))
         .withColumn("bucket", lit(0)) // placeholder, recomputed below
         .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
       writeHostBuckets(newHs, claimsBuckets, bid)
@@ -903,20 +1094,26 @@ final class CrawlEngine(
     // — the append form of the reference's CreateOrUpdate upsert
     // (discovered_link_repository.go:46-59). Chained AFTER sub_buckets so
     // it reads the now-populated submissions cache.
+    val srcNames = sourceNamesBc
     val linksF =
       if (!cfg.trackDiscoveredLinks) Future.unit
       else subBucketsF.map(_ => timed("links_write") {
         submissions
-          .map(r => (r.s.source_id, r.s.url_hash, r.s.url, r.s.host,
+          .map(r => (r.s.source_id,
+            // registry-resolved display name (link_handler.go:396);
+            // unregistered sources fall back to the id
+            srcNames.value.getOrElse(r.s.source_id, r.s.source_id),
+            r.s.url_hash, r.s.url, r.s.host,
             r.s.parent_url, r.s.depth, r.s.priority,
             r.negPrio, r.nfa, r.claimHash, r.li))
-          .toDF("source_id", "url_hash", "url", "domain", "parent_url",
-            "depth", "priority", "negPrio", "nfa", "claimHash", "li")
-          .groupBy($"source_id", $"url_hash")
+          .toDF("source_id", "source_name", "url_hash", "url", "domain",
+            "parent_url", "depth", "priority", "negPrio", "nfa", "claimHash",
+            "li")
+          .groupBy($"source_id", $"source_name", $"url_hash")
           .agg(max_by(
             struct($"url", $"domain", $"parent_url", $"depth", $"priority"),
             struct($"negPrio", $"nfa", $"claimHash", $"li")).as("last"))
-          .select($"source_id", $"source_id".as("source_name"),
+          .select($"source_id", $"source_name",
             $"last.url".as("url"), $"url_hash",
             $"last.parent_url".as("parent_url"), $"last.depth".as("depth"),
             $"last.domain".as("domain"),
@@ -1055,6 +1252,7 @@ final class CrawlEngine(
     Await.result(hostF, Duration.Inf)
     commit()
     rekeyCleanup()
+    robotsEffDs.foreach(_.unpersist())
     claims.unpersist()
     resolved.unpersist()
     subAgg.unpersist()
@@ -1091,27 +1289,45 @@ final class CrawlEngine(
     // candidate hash set — its output (`present`) is ≤ |candidates| rows,
     // which then broadcast back onto the candidates. Candidates never
     // collect to the driver, and the big side is never the build side.
+    // (No distinct on the build side: semi-join dedups by construction.)
     val front = bucketSlice(candBuckets).toDF().select($"url_hash".as("exHash"))
     val present = front
-      .join(broadcast(cand.select($"newHash").distinct()),
-        $"exHash" === $"newHash", "left_semi")
-    val c1 = cand.join(broadcast(present), $"newHash" === $"exHash",
-        "left_outer")
-      .withColumn("ex", $"exHash".isNotNull).drop("exHash")
+      .join(broadcast(cand.select($"newHash")), $"exHash" === $"newHash",
+        "left_semi")
     val enab = cand.select($"oldHash".as("enabHash"),
       $"negPrio".as("eNegPrio"), $"nfa".as("eNfa"))
-    val c2 = c1.join(broadcast(enab), $"newHash" === $"enabHash", "left_outer")
-    val w = Window.partitionBy($"newHash")
-      .orderBy($"negPrio", $"nfa", $"oldHash")
-    val posGt = struct($"negPrio", $"nfa", $"oldHash") >
-      struct($"eNegPrio", $"eNfa", $"enabHash")
-    val freeWin = c2.filter(!$"ex")
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .withColumn("acc", lit(true)).withColumn("pending", lit(false))
-    val contested = c2.filter($"ex" && $"enabHash".isNotNull && posGt)
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .withColumn("acc", lit(false)).withColumn("pending", lit(true))
-    val dec0 = freeWin.unionByName(contested).drop("rn").persist()
+    val c2 = cand
+      .join(broadcast(present), $"newHash" === $"exHash", "left_outer")
+      .withColumn("ex", $"exHash".isNotNull).drop("exHash")
+      .join(broadcast(enab), $"newHash" === $"enabHash", "left_outer")
+    // ONE partial-aggregatable hash aggregation per newHash group replaces
+    // the two window sort-shuffles: `ex` and the enabler's claim position
+    // are group-level facts (both keyed by newHash), so the free winner
+    // and the first-member-after-the-enabler are min_by's over the group.
+    // posRank avoids min_by-over-null semantics: members positioned after
+    // the enabler rank 0, the rest 1 — cwin is valid iff min(posRank)=0.
+    val candCols = Seq("negPrio", "nfa", "oldHash", "oldBucket", "newUrl",
+      "newHash", "newHost", "newBucket")
+    val candStruct = struct(candCols.map(col): _*)
+    val candKey = struct($"negPrio", $"nfa", $"oldHash")
+    val posGt = candKey > struct($"eNegPrio", $"eNfa", $"enabHash")
+    val posRank = when($"enabHash".isNotNull && posGt, 0).otherwise(1)
+    val dec0 = c2.groupBy($"newHash".as("nh")).agg(
+        first($"ex").as("ex"),
+        first($"enabHash").as("enabHash"),
+        min_by(candStruct, candKey).as("win"),
+        min_by(candStruct, struct(posRank, $"negPrio", $"nfa", $"oldHash"))
+          .as("cwin"),
+        min(posRank).as("anyPos"))
+      .select(
+        when(!$"ex", $"win")
+          .when($"enabHash".isNotNull && $"anyPos" === 0, $"cwin").as("d"),
+        (!$"ex").as("acc"),
+        ($"ex" && $"enabHash".isNotNull && $"anyPos" === 0).as("pending"),
+        $"enabHash")
+      .filter($"d".isNotNull) // ex groups nothing can free: all fall back
+      .select($"d.*" +: Seq($"acc", $"pending", $"enabHash"): _*)
+      .persist()
     val (nPend, accOld, accNew) = timed("rekey_resolve") {
       dec0.agg(
         sum(when($"pending", 1L).otherwise(0L)),

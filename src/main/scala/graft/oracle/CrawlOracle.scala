@@ -37,7 +37,19 @@ final class CrawlOracle(
     /** B2 pre-submit URL filter (crawler/collector.go:443-450 aborts
       * these before any fetch; url_filter.go:38-65). None = off.
       */
-    preSubmitFilter: Option[String => Boolean] = None
+    preSubmitFilter: Option[String => Boolean] = None,
+    /** Source registry (source_id → display name; link_handler.go:396
+      * `cc.Source.Name`). Unregistered ids fall back to the id.
+      */
+    sources: Map[String, String] = Map.empty,
+    /** Keyed robots cache (fetcher/robots.go:19, host_state_repository
+      * .go:55-70): per-host robots served from cache until TTL lapses,
+      * then re-fetched from the timeline at the current virtual clock.
+      * Off = static fixture rules for the whole drain.
+      */
+    keyedRobots: Boolean = false,
+    robotsTtlMs: Long = 24L * 3600L * 1000L,
+    robotsUpdates: Seq[(Long, RobotsRow)] = Nil
 ) {
 
   final class Row(
@@ -68,7 +80,8 @@ final class CrawlOracle(
     * handler, link_handler.go:384-406).
     */
   final case class OLink(url: String, domain: String, parentUrl: Option[String],
-      depth: Int, priority: Int, discoveredAt: Long, updatedAt: Long)
+      depth: Int, priority: Int, discoveredAt: Long, updatedAt: Long,
+      sourceName: String)
 
   val frontier: mutable.LinkedHashMap[String, Row] = mutable.LinkedHashMap()
   val links: mutable.LinkedHashMap[(String, String), OLink] = mutable.LinkedHashMap()
@@ -86,8 +99,27 @@ final class CrawlOracle(
       h -> RobotsRules.fromResponse(r.body, r.status_code, userAgent)
     }
 
+  private val robotsTimeline: Map[String, Seq[(Long, RobotsRow)]] =
+    (robotsByHost.values.map(r => (Long.MinValue, r)).toSeq ++ robotsUpdates)
+      .groupBy(_._2.host).view.mapValues(_.sortBy(_._1)).toMap
+
+  /** host → (body, status, fetched_at): the keyed robots cache. */
+  val hostRobots: mutable.Map[String, (String, Int, Long)] = mutable.Map()
+
   private def rules(host: String): RobotsRules =
-    robotsRules.getOrElse(host, RobotsRules.AllowAll)
+    if (!keyedRobots) robotsRules.getOrElse(host, RobotsRules.AllowAll)
+    else {
+      val cached = hostRobots.get(host).filter(_._3 + robotsTtlMs > clock)
+      val (b, st, _) = cached.getOrElse {
+        val row = robotsTimeline.get(host)
+          .flatMap(_.takeWhile(_._1 <= clock).lastOption).map(_._2)
+        val e = (row.map(_.body).getOrElse(""),
+          row.map(_.status_code).getOrElse(404), clock)
+        hostRobots(host) = e
+        e
+      }
+      RobotsRules.fromResponse(b, st, userAgent)
+    }
 
   private def minDelay(host: String): Long =
     hostMinDelay.getOrElse(host, CrawlDefaults.MinDelayMs)
@@ -101,7 +133,7 @@ final class CrawlOracle(
       val key = (s.source_id, s.url_hash)
       val first = links.get(key).map(_.discoveredAt).getOrElse(clock)
       links(key) = OLink(s.url, s.host, s.parent_url, s.depth, s.priority,
-        first, clock)
+        first, clock, sources.getOrElse(s.source_id, s.source_id))
     }
     frontier.get(s.url_hash) match {
       case None =>

@@ -20,8 +20,10 @@ class CrawlParitySpec extends AnyFunSuite {
     new SnapshotStore(Files.createTempDirectory("graft-state").toString)
 
   private def mkEngine(pages: Seq[PageRow], robots: Seq[RobotsRow],
-      cfg: EngineConfig, store: SnapshotStore = newStore()): CrawlEngine =
-    new CrawlEngine(spark, store, spark.createDataset(pages), robots, cfg)
+      cfg: EngineConfig, store: SnapshotStore = newStore(),
+      robotsUpdates: Seq[(Long, RobotsRow)] = Nil): CrawlEngine =
+    new CrawlEngine(spark, store, spark.createDataset(pages), robots, cfg,
+      robotsUpdates)
 
   /** Frontier fields both models define, keyed by url_hash. */
   private def engineState(e: CrawlEngine): Map[String, Product] =
@@ -79,11 +81,11 @@ class CrawlParitySpec extends AnyFunSuite {
         ((r.getAs[String]("url"), r.getAs[String]("domain"),
           Option(r.getAs[String]("parent_url")), r.getAs[Int]("depth"),
           r.getAs[Int]("priority"), r.getAs[Long]("discovered_at"),
-          r.getAs[Long]("updated_at")))
+          r.getAs[Long]("updated_at"), r.getAs[String]("source_name")))
     }.toMap
     val olinks = o.links.map { case (k, l) =>
       k -> ((l.url, l.domain, l.parentUrl, l.depth, l.priority,
-        l.discoveredAt, l.updatedAt))
+        l.discoveredAt, l.updatedAt, l.sourceName))
     }.toMap
     val ldiff = (elinks.keySet ++ olinks.keySet)
       .filter(k => elinks.get(k) != olinks.get(k))
@@ -395,6 +397,55 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(!e.frontier().collect().exists(_.url_hash == gone.url_hash))
     assert(e.deleteUrls(Set(gone.url_hash)) == 0L)
     assert(e.frontierStats().values.sum == 1L)
+  }
+
+  test("keyed robots: a mid-drain robots change takes effect after TTL") {
+    // one host, five seeded pages ⇒ politeness claims one per batch, the
+    // virtual clock stepping +min_delay (1 s) per batch. TTL 2.5 s;
+    // robots flip to Disallow:/ at epoch+1.5 s. Batches 1-3 (epoch,
+    // +1 s, +2 s) run on the cached Allow; batch 4 (+3 s) refreshes past
+    // the TTL, sees the flip, and the remaining two pages die
+    // robots_blocked — the reference's cached-robots behavior
+    // (fetcher/robots.go:19) end to end.
+    val h = "krob.example.org"
+    val pages = (1 to 5).map(i => pg(h, s"/p$i", 200, "", Nil))
+    val seeds = (1 to 5).map(i => Seed(Corpus.canonicalUrl(h, s"/p$i"), "s1"))
+    val allow = Seq(RobotsRow(h, "User-agent: *\nAllow: /", 200))
+    val flipAt = CrawlDefaults.VirtualEpochMs + 1500L
+    val updates = Seq((flipAt, RobotsRow(h, "User-agent: *\nDisallow: /", 200)))
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 3,
+      useKeyedRobotsState = true, robotsTtlMs = 2500L)
+    val e = mkEngine(pages, allow, cfg, robotsUpdates = updates)
+    e.seed(seeds)
+    e.runDrain()
+    val o = new CrawlOracle(pages.map(p => p.url_hash -> p).toMap,
+      allow.map(r => r.host -> r).toMap, cfg.userAgent, cfg.maxRetries,
+      cfg.maxRedirects, cfg.maxDepth, keyedRobots = true,
+      robotsTtlMs = 2500L, robotsUpdates = updates)
+    o.submitSeeds(seeds)
+    o.runDrain()
+    compareAll(e, o)
+    val rows = e.frontier().collect()
+    assert(rows.count(_.status == FrontierStatus.Fetched) == 3,
+      "cached Allow carries batches 1-3")
+    assert(rows.count(r => r.status == FrontierStatus.Dead &&
+      r.last_error.contains(CrawlDefaults.ReasonRobotsBlocked)) == 2,
+      "post-TTL refresh blocks the rest")
+    // the refreshed cache PERSISTED into host_state
+    val hs = e.hostState().collect().find(_.host == h).get
+    assert(hs.robots_body.exists(_.contains("Disallow")), "cache persisted")
+    assert(hs.robots_fetched_at.contains(CrawlDefaults.VirtualEpochMs + 3000L))
+    // fixture mode (static rules) never observes the update
+    val (eStatic, _) = runBoth(pages, allow, seeds,
+      cfg.copy(useKeyedRobotsState = false))
+    assert(eStatic.frontier().collect()
+      .forall(_.status == FrontierStatus.Fetched), "static mode ignores flip")
+    // keyed ≡ static when robots never change
+    val eKeyedStable = mkEngine(pages, allow, cfg)
+    eKeyedStable.seed(seeds)
+    eKeyedStable.runDrain()
+    assert(engineState(eKeyedStable) == engineState(eStatic),
+      "keyed mode is bit-identical without mid-drain changes")
   }
 
   test("robots wildcards gate the drain: engine ≡ oracle") {
