@@ -234,6 +234,34 @@ object SparkEntry {
       graft.ops.ImageOps.imageFeatures(t(s, d, "documents"))
         .orderBy("doc_id")),
 
+    // ---- R3 repository shape end-to-end: DomainViews.aggregate itself
+    //      (status LEFT JOIN + COALESCE('active') + NULL-aware ratios +
+    //      HAVING + ordering + paging) over links/states derived
+    //      deterministically from the events table, so the DuckDB oracle
+    //      checks the ENGINE aggregate code, not an analog
+    //      (domain_aggregate_repository.go:176-243) ----
+    "q34_domain_aggregate_repo" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val links = ev.select(
+        concat(lit("d"), (col("user_id") % 50).cast("string"),
+          lit(".example.org")).as("domain"),
+        col("event_type").as("source_id"),
+        (col("user_id") % 7).cast("int").as("depth"),
+        col("ts").as("discovered_at"),
+        when(col("value") > 60, 500).when(col("value") > 20, 200)
+          .cast("int").as("http_status"),
+        when(col("value") > 50, "text/html; charset=utf-8")
+          .when(col("value") > 10, "application/pdf").as("content_type"))
+      val states = s.range(20).select(
+        concat(lit("d"), col("id").cast("string"), lit(".example.org"))
+          .as("domain"),
+        element_at(array(lit("ignored"), lit("reviewing"), lit("promoted")),
+          (col("id") % 3).cast("int") + 1).as("status"),
+        concat(lit("note-"), (col("id") % 3).cast("string")).as("notes"))
+      graft.engine.DomainViews.aggregate(s, links, Some(states),
+        minLinkCount = 5L, limit = 40, offset = 3)
+    }),
+
     // ---- upsert view (the discovered_links latest-wins shape: one
     //      hash-partitioned groupBy with max_by over the version order,
     //      engine/CrawlEngine.discoveredLinks) ----
@@ -540,6 +568,45 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY user_id
                         ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
-         WHERE rn = 1 ORDER BY user_id"""
+         WHERE rn = 1 ORDER BY user_id""",
+
+    // AVG is written SUM/COUNT on purpose: both engines then divide the
+    // identical exact integer operands (a streaming-mean AVG could differ
+    // in the last bit).
+    "q34_domain_aggregate_repo" ->
+      """WITH links AS (
+           SELECT 'd' || (user_id % 50) || '.example.org' AS domain,
+                  event_type AS source_id,
+                  CAST(user_id % 7 AS INT) AS depth,
+                  ts AS discovered_at,
+                  CAST(CASE WHEN value > 60 THEN 500
+                            WHEN value > 20 THEN 200 END AS INT) AS http_status,
+                  CASE WHEN value > 50 THEN 'text/html; charset=utf-8'
+                       WHEN value > 10 THEN 'application/pdf' END AS content_type
+           FROM events),
+         states AS (
+           SELECT 'd' || i || '.example.org' AS domain,
+                  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'ignored'
+                       WHEN 1 THEN 'reviewing' ELSE 'promoted' END AS status,
+                  'note-' || (i % 3) AS notes
+           FROM generate_series(0, 19) AS g(i))
+         SELECT dl.domain, COALESCE(ds.status, 'active') AS status,
+                CAST(COUNT(*) AS BIGINT) AS link_count,
+                CAST(COUNT(DISTINCT dl.source_id) AS BIGINT) AS source_count,
+                CAST(SUM(dl.depth) AS DOUBLE) / COUNT(*) AS avg_depth,
+                MIN(dl.discovered_at) AS first_seen,
+                MAX(dl.discovered_at) AS last_seen,
+                CASE WHEN COUNT(dl.http_status) > 0 THEN
+                  COUNT(CASE WHEN dl.http_status BETWEEN 200 AND 299 THEN 1 END)
+                    / CAST(COUNT(dl.http_status) AS DOUBLE) END AS ok_ratio,
+                CASE WHEN COUNT(dl.content_type) > 0 THEN
+                  COUNT(CASE WHEN dl.content_type LIKE 'text/html%' THEN 1 END)
+                    / CAST(COUNT(dl.content_type) AS DOUBLE) END AS html_ratio,
+                ds.notes
+         FROM links dl LEFT JOIN states ds ON dl.domain = ds.domain
+         GROUP BY dl.domain, ds.status, ds.notes
+         HAVING COUNT(*) >= 5
+         ORDER BY link_count DESC, dl.domain ASC
+         LIMIT 40 OFFSET 3"""
   )
 }

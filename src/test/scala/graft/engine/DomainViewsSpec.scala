@@ -105,4 +105,87 @@ class DomainViewsSpec extends AnyFunSuite {
     val (none, zero) = e.linksByDomain("nosuch.example.org")
     assert(zero == 0L && none.collect().isEmpty)
   }
+
+  test("persisted domain states: upsert semantics, aggregate pickup, resume") {
+    val h1 = "ds-a.example.org"; val h2 = "ds-b.example.org"
+    def pg(host: String, path: String, links: Seq[String]) = {
+      val url = Corpus.canonicalUrl(host, path)
+      PageRow(UrlNormalizer.sha256Hex(url), url, UrlNormalizer.sha256Hex(url),
+        host, 200, "", "text/html; charset=utf-8", "", extract_ok = true,
+        Seq(Span("text", s"p $path", "", 0)), links)
+    }
+    val pages = Seq(
+      pg(h1, "/", Seq(Corpus.canonicalUrl(h2, "/x"))),
+      pg(h2, "/x", Nil))
+    val dir = Files.createTempDirectory("ds").toString
+    val e = new CrawlEngine(spark, new SnapshotStore(dir),
+      spark.createDataset(pages), Nil, EngineConfig(numBuckets = 8, maxDepth = 3))
+    e.seed(Seq(Seed(Corpus.canonicalUrl(h1, "/"), "src-1")))
+    e.runDrain()
+
+    // bulk upsert: ignored with notes; status timestamp stamped
+    assert(e.upsertDomainStates(Seq(h2), "ignored", Some("spam farm")) == 1L)
+    val s1 = e.domainStates().collect().head
+    assert(s1.domain == h2 && s1.status == "ignored")
+    assert(s1.notes.contains("spam farm") && s1.ignored_at.isDefined)
+    assert(s1.promoted_at.isEmpty)
+    val created = s1.created_at
+
+    // re-upsert to promoted: created_at kept, promoted_at stamped,
+    // ignored_at carried (the reference never clears old timestamps)
+    assert(e.upsertDomainStates(Seq(h2), "promoted") == 1L)
+    val s2 = e.domainStates().collect().head
+    assert(s2.status == "promoted" && s2.created_at == created)
+    assert(s2.promoted_at.isDefined && s2.ignored_at.isDefined)
+    assert(s2.notes.isEmpty, "notes take the new (absent) value")
+
+    // domainAggregates reads the PERSISTED states by default now
+    val agg = e.domainAggregates().collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[String]("status")).toMap
+    assert(agg(h2) == "promoted")
+
+    // resume: a fresh engine loads the persisted table via the manifest
+    val e2 = new CrawlEngine(spark, new SnapshotStore(dir),
+      spark.createDataset(pages), Nil, EngineConfig(numBuckets = 8, maxDepth = 3))
+    assert(e2.resume())
+    assert(e2.domainStates().collect().toSeq == e.domainStates().collect().toSeq)
+  }
+
+  test("source registry: links carry resolved names; engine ≡ oracle; resume") {
+    val h1 = "sr-a.example.org"; val h2 = "sr-b.example.org"
+    def pg(host: String, path: String, links: Seq[String]) = {
+      val url = Corpus.canonicalUrl(host, path)
+      PageRow(UrlNormalizer.sha256Hex(url), url, UrlNormalizer.sha256Hex(url),
+        host, 200, "", "text/html; charset=utf-8", "", extract_ok = true,
+        Seq(Span("text", s"p $path", "", 0)), links)
+    }
+    val pages = Seq(
+      pg(h1, "/", Seq("/a", Corpus.canonicalUrl(h2, "/t"))),
+      pg(h1, "/a", Nil), pg(h2, "/t", Nil))
+    val reg = Map("src-1" -> "Example News Network")
+    val dir = Files.createTempDirectory("sr").toString
+    val e = new CrawlEngine(spark, new SnapshotStore(dir),
+      spark.createDataset(pages), Nil, EngineConfig(numBuckets = 8, maxDepth = 3))
+    e.registerSources(reg.toSeq.map { case (id, n) => SourceEntry(id, n) })
+    e.seed(Seq(Seed(Corpus.canonicalUrl(h1, "/"), "src-1")))
+    e.runDrain()
+
+    val names = e.discoveredLinks().collect()
+      .map(_.getAs[String]("source_name")).toSet
+    assert(names == Set("Example News Network"), s"resolved names: $names")
+
+    // oracle with the same registry agrees on every link field
+    val o = new graft.oracle.CrawlOracle(pages.map(p => p.url_hash -> p).toMap,
+      Map.empty, maxDepth = 3, sources = reg)
+    o.submitSeeds(Seq(Seed(Corpus.canonicalUrl(h1, "/"), "src-1")))
+    o.runDrain()
+    val on = o.links.values.map(_.sourceName).toSet
+    assert(on == Set("Example News Network"))
+
+    // registry survives resume
+    val e2 = new CrawlEngine(spark, new SnapshotStore(dir),
+      spark.createDataset(pages), Nil, EngineConfig(numBuckets = 8, maxDepth = 3))
+    assert(e2.resume())
+    assert(e2.sources().collect().toSeq == Seq(SourceEntry("src-1", "Example News Network")))
+  }
 }
