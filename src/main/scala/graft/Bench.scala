@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, adaptive: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -28,7 +28,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE ON for the analytical query suite (skew/coalesce wins), OFF
+      // for the crawl drain: its joins are all explicit broadcasts or a
+      // single fixed-width repartition, so AQE's per-stage re-planning
+      // round-trips only add driver latency to the ~10 small jobs each
+      // micro-batch runs — a direct tax on the serial floor that caps
+      // N→4N scaling.
+      .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.local.dir", "/dev/shm/spark-local") // cluster-local-SSD analog
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -39,7 +45,7 @@ object Bench {
     * Returns (urlsFetched, batches, wallSeconds).
     */
   private def crawlRun(cpus: Int, p: CorpusParams, maxBatches: Int): (Long, Long, Double) = {
-    val spark = session(cpus)
+    val spark = session(cpus, adaptive = false)
     import spark.implicits._
     try {
       val pages = spark.range(p.totalPages)
