@@ -35,6 +35,15 @@ object Bench {
       // micro-batch runs — a direct tax on the serial floor that caps
       // N→4N scaling.
       .config("spark.sql.adaptive.enabled", adaptive)
+      // crawl-drain session only (adaptive=false): the merge join's probe
+      // side is the (small) per-batch submission aggregate, so a shuffled
+      // HASH join beats sorting the full delta slice every batch; and the
+      // host-state build side must keep broadcasting as the host table
+      // grows past the 10 MB default threshold, or the per-batch claim
+      // scan silently degrades to a full two-sided shuffle.
+      .config("spark.sql.join.preferSortMergeJoin", adaptive)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (adaptive) "10485760" else "67108864")
       .config("spark.local.dir", "/dev/shm/spark-local") // cluster-local-SSD analog
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -105,8 +114,13 @@ object Bench {
     }
     spark.stop()
 
-    // ---- 2) crawl scaling: identical job + input, local[8] vs local[32] ----
-    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "100000").toInt
+    // ---- 2) crawl scaling: identical job + input, N vs 4N threads ----
+    // 300k hosts (~600k pages, ~170k claims/batch): batches big enough to
+    // amortize the ~8 s/batch parallelism-independent floor (Catalyst
+    // plan/schedule/broadcast/commit round-trips) that capped efficiency
+    // at 0.44-0.52 with 100k hosts — the honest local stand-in for the
+    // 10^6-10^7-row micro-batches a real cluster would run.
+    val benchHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "300000").toInt
     val benchCorpus = CorpusParams(numHosts = benchHosts, pagesPerHost = 2,
       skewHosts = 1, skewFactor = 5, outdegree = 2)
     val maxBatches = sys.env.getOrElse("SPARK_GRAFT_BENCH_BATCHES", "3").toInt
