@@ -88,6 +88,15 @@ object Bench {
     // ---- 1) query suite timings ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
     val spark = session(cpus)
+    // untimed session warmup: JIT + codegen compiler + parquet footer
+    // caches are session costs, not properties of whichever query sorts
+    // first (q01 was silently paying ~4 s of them)
+    if (!skipQueries)
+      Seq("q22_token_stats", "q27_adaptive_interval", "q11_normalize_url")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+        }
     val results = (if (skipQueries) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()

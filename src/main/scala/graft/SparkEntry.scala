@@ -186,6 +186,13 @@ object SparkEntry {
       TextOps.annLshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 3)
         .orderBy("qid", "rn")),
 
+    // ---- embedding-cosine near-dup (dedup family over vectors):
+    //      LSH-bucketed candidates + exact cosine threshold, the bucket
+    //      semantics mirrored exactly in the oracle ----
+    "q35_cosine_near_dup" -> ((s, d) =>
+      TextOps.cosineNearDupPairs(t(s, d, "embeddings"), 4, 0.25)
+        .orderBy("a", "b")),
+
     // ---- text analysis ----
     "q22_token_stats" -> ((s, d) =>
       TextOps.tokenStats(t(s, d, "documents")).orderBy("doc_id")),
@@ -607,6 +614,31 @@ object SparkEntry {
          GROUP BY dl.domain, ds.status, ds.notes
          HAVING COUNT(*) >= 5
          ORDER BY link_count DESC, dl.domain ASC
-         LIMIT 40 OFFSET 3"""
+         LIMIT 40 OFFSET 3""",
+
+    "q35_cosine_near_dup" ->
+      """WITH comp AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1 AS d,
+                              CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS xq
+                       FROM embeddings),
+          dots AS (SELECT vec_id, p,
+                          SUM(xq * (CASE WHEN CAST('0x' || substr(md5(p || ':' || d), 1, 15) AS BIGINT) % 2 = 0
+                                    THEN 1 ELSE -1 END)) AS dot
+                   FROM comp, generate_series(0, 3) AS g(p)
+                   GROUP BY vec_id, p),
+          buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                                               ELSE 0 END) AS BIGINT) AS bucket
+                      FROM dots GROUP BY vec_id),
+          cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+                   FROM buckets x JOIN buckets y
+                     ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          SELECT c.a, c.b,
+                 ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+          FROM cand c JOIN embeddings ea ON c.a = ea.vec_id
+                      JOIN embeddings eb ON c.b = eb.vec_id
+          WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.25
+          ORDER BY a, b"""
   )
 }

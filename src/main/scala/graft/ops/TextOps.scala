@@ -203,9 +203,14 @@ object TextOps {
     val grouped = sh
       .groupBy(col("lang"), col("source"), col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // stop-shingle cut. No persist: both consumers share the identical
-      // aggregate subtree, so ReuseExchange serves the shuffle once.
-      .filter(size(col("ids")) <= maxDocFreq)
+      .filter(size(col("ids")) <= maxDocFreq) // stop-shingle cut
+      // materialize ONCE: three consumers read the grouped set (the pair
+      // emitter + the sizes side of both joins), and their slightly
+      // different downstream filters defeat ReuseExchange — without this
+      // the whole tokenize→shingle→distinct→collect_list pipeline (the
+      // expensive 90%) executes three times. Verified in the physical
+      // plan: 3 FileScans, 0 ReusedExchange.
+      .localCheckpoint()
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val joined = grouped
@@ -226,6 +231,38 @@ object TextOps {
   }
 
   // ------------------------------------------------------------ similarity
+
+  /** Embedding-cosine NEAR-DUP pairs — the dedup-family member over
+    * vectors: candidates come from shared random-hyperplane LSH buckets
+    * (direction-correlated, so high-cosine pairs co-bucket with high
+    * probability), then the exact cosine filters at `threshold`. Defined
+    * semantics = "pairs that share a bucket AND pass the threshold" —
+    * the oracle mirrors the same buckets, so recall<1 vs all-pairs is
+    * part of the contract, not an approximation error. One shuffle
+    * builds the buckets (in-bucket pair emission, no self-join of the
+    * bucket pipeline); the two vector joins are by key. `maxBucket`
+    * caps a degenerate bucket's O(m²) pair blow-up, as in
+    * [[minhashLshPairs]].
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, planes: Int = 4,
+      threshold: Double = 0.25, maxBucket: Long = 10000L): DataFrame = {
+    val cand = lshBuckets(embeddings, planes)
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+               y -> named_struct('a', x, 'b', y))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val v = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    cand
+      .join(v.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(v.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), round(cosineExpr("va", "vb"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 
   /** Cosine similarity of two double arrays (codegen'd higher-order fns). */
   private def cosineExpr(l: String, r: String): Column = expr(

@@ -157,6 +157,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(b(0L) == b(1L))
   }
 
+  test("cosine near-dup: co-directional pair surfaces, orthogonal pair absent") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of 0 (same direction)
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite direction
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)) // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = TextOps.cosineNearDupPairs(emb, planes = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)), s"near-dup found: $pairs")
+    assert(pairs((0L, 1L)) > 0.99)
+    assert(!pairs.contains((0L, 2L)), "opposite direction never passes")
+    assert(!pairs.keySet.exists(p => p._2 == 3L && pairs.get(p).exists(_ >= 0.9)))
+  }
+
   test("langId predicts via marker voting with 'und' fallback") {
     val out = TextOps.langId(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
