@@ -117,8 +117,13 @@ object Bench {
         // table, the recall-vs-cost trade a real deployment would start at
         val ann = pairs(graft.ops.TextOps.annLshTopK(emb, qids, 10,
           planes = 4, tables = 8))
-        Seq("ann_recall_at_10" ->
-          (if (exact.isEmpty) 0.0 else ann.intersect(exact).size.toDouble / exact.size))
+        // IVF at 1/4 of the lists probed — the other index family's
+        // recall/cost point beside the LSH one
+        val ivf = pairs(graft.ops.TextOps.ivfTopK(emb, qids, 10,
+          nlist = 16, nprobe = 4))
+        def recall(got: Set[(Long, Long)]) =
+          if (exact.isEmpty) 0.0 else got.intersect(exact).size.toDouble / exact.size
+        Seq("ann_recall_at_10" -> recall(ann), "ivf_recall_at_10" -> recall(ivf))
       } catch { case _: Throwable => Seq("ann_recall_at_10" -> -1.0) }
     }
     spark.stop()

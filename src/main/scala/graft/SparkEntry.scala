@@ -186,6 +186,12 @@ object SparkEntry {
       TextOps.annLshTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 3)
         .orderBy("qid", "rn")),
 
+    // ---- IVF ANN top-k (inverted-file scale path: deterministic
+    //      codebook, nprobe-bounded probe, in-list exact rerank) ----
+    "q36_ivf_topk" -> ((s, d) =>
+      TextOps.ivfTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 3, 16, 4)
+        .orderBy("qid", "rn")),
+
     // ---- embedding-cosine near-dup (dedup family over vectors):
     //      LSH-bucketed candidates + exact cosine threshold, the bucket
     //      semantics mirrored exactly in the oracle ----
@@ -639,6 +645,32 @@ object SparkEntry {
                       JOIN embeddings eb ON c.b = eb.vec_id
           WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                       CAST(eb.embedding AS DOUBLE[])), 6) >= 0.25
-          ORDER BY a, b"""
+          ORDER BY a, b""",
+
+    "q36_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+          assign AS (SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+            FROM v, c) WHERE rn = 1),
+          probes AS (SELECT qid, cid FROM (
+            SELECT v.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+            FROM v, c WHERE v.vec_id < 5) WHERE rn <= 4),
+          cand AS (SELECT p.qid, a.vec_id FROM probes p
+                   JOIN assign a ON p.cid = a.cid
+                   WHERE a.vec_id <> p.qid)
+          SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos FROM (
+            SELECT cand.qid, cand.vec_id,
+                   ROUND(list_cosine_similarity(q.ve, x.ve), 6) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY cand.qid
+                     ORDER BY ROUND(list_cosine_similarity(q.ve, x.ve), 6) DESC,
+                              cand.vec_id ASC) AS rn
+            FROM cand JOIN v q ON cand.qid = q.vec_id
+                      JOIN v x ON cand.vec_id = x.vec_id)
+          WHERE rn <= 3 ORDER BY qid, rn"""
   )
 }

@@ -232,6 +232,51 @@ object TextOps {
 
   // ------------------------------------------------------------ similarity
 
+  /** IVF-style ANN top-k (the inverted-file scale path beside the LSH
+    * one): vectors are assigned to their nearest CENTROID's inverted
+    * list; a query ranks centroids, probes the best `nprobe` lists, and
+    * exact-reranks only those candidates — corpus scanned ∝ nprobe/nlist.
+    *
+    * The codebook is the first `nlist` vectors by vec_id — a
+    * DETERMINISTIC stand-in for a k-means training step (which is an
+    * offline batch job a real deployment runs separately); everything
+    * the INDEX contributes — the inverted lists, the centroid ranking,
+    * the bounded probe, the in-list rerank — is real and oracle-checked.
+    * Assignment is a broadcast of the (small) codebook against the
+    * corpus; candidates flow through an equi-join on list id, so at
+    * 100 TB the probe is a partition-pruned join, never a scan.
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val v = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cents = v.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // inverted lists: every vector joins its argmax-cosine centroid
+    val assignW = w.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), asc("cid"))
+    val lists = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), cosineExpr("v", "cv").as("ccos"))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // each query probes its nprobe best centroids
+    val probeW = w.partitionBy(col("qid")).orderBy(desc("qcos"), asc("cid"))
+    val probes = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"), cosineExpr("qv", "cv").as("qcos"))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    // candidates = probed lists only; exact rerank inside them
+    val rankW = w.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    lists.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(cosineExpr("qv", "v"), 6).as("cos"))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding-cosine NEAR-DUP pairs — the dedup-family member over
     * vectors: candidates come from shared random-hyperplane LSH buckets
     * (direction-correlated, so high-cosine pairs co-bucket with high

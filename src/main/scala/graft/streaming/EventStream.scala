@@ -53,6 +53,23 @@ object EventStream {
       .select(col("w.start").as("wstart"), col("event_type"),
         col("cnt"), col("val"))
 
+  /** Streaming exact dedup — the URL-seen / content-hash semantics in
+    * Structured Streaming form: the FIRST row per key passes, duplicates
+    * arriving within the watermark horizon are dropped, and the key's
+    * state is evicted once the watermark passes (bounded state — the
+    * streaming analog of the crawl's seen-filter story, with the
+    * watermark as its TTL). Built on the native
+    * `dropDuplicatesWithinWatermark` operator, so the dedup state is
+    * watermark-managed by the engine rather than hand-rolled in
+    * `mapGroupsWithState`.
+    */
+  def dedupByKey(
+      events: Dataset[StreamEvent],
+      watermarkDelay: String = "2 hours"): Dataset[StreamEvent] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user session windows via flatMapGroupsWithState with event-time
     * timeout: a session closes after `gapMs` of event-time silence
     * (watermark-driven), emitting one summary row. Custom state the

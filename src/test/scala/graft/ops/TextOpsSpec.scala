@@ -157,6 +157,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(b(0L) == b(1L))
   }
 
+  test("ivf top-k: probed lists find co-directional neighbours, rank by cosine") {
+    // 8 vectors in 2 clear direction clusters; nlist=2 → the codebook is
+    // vec 0 (x-ish) and vec 1 (y-ish); nprobe=1 probes only the query's
+    // own cluster, which contains every true neighbour here.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.05f, 0.95f)), (5L, Array(0.1f, 0.9f)),
+      (6L, Array(0.99f, 0.01f)), (7L, Array(0.01f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val top = TextOps.ivfTopK(emb, Seq(0L, 1L), 3, nlist = 2, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(top(0L) == Seq(6L, 2L, 3L), s"x-cluster neighbours in cosine order: $top")
+    assert(top(1L) == Seq(7L, 4L, 5L), s"y-cluster neighbours in cosine order: $top")
+  }
+
   test("cosine near-dup: co-directional pair surfaces, orthogonal pair absent") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -49,6 +49,35 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("dedupByKey: first row wins, in-horizon duplicates drop, state evicts") {
+    val in = MemoryStream[StreamEvent](spark)
+    val q = EventStream.dedupByKey(in.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: id 100 twice in one batch (value marks which row) + id 101
+    in.addData(ev(1, 100, "purchase", 60, 1.0), ev(2, 100, "purchase", 61, 2.0),
+      ev(1, 101, "view", 62, 3.0))
+    drain(q)
+    // batch 2: id 100 again within the horizon -> dropped
+    in.addData(ev(3, 100, "purchase", 65, 4.0))
+    drain(q)
+    val got1 = spark.table("dedup").collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toSet
+    assert(got1 == Set((100L, 1.0), (101L, 3.0)),
+      s"first occurrence per key only: $got1")
+    // batch 3: advance the watermark far past id 100's state, then
+    // re-submit it -> state was evicted, the key is admitted again (the
+    // documented within-watermark contract = the seen-TTL analog)
+    in.addData(ev(9, 999, "view", 600, 0.0))
+    drain(q)
+    in.addData(ev(4, 100, "purchase", 601, 5.0))
+    drain(q)
+    val got2 = spark.table("dedup").collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toSet
+    assert(got2.contains((100L, 5.0)), s"post-eviction re-admission: $got2")
+    q.stop()
+  }
+
   test("sessionize: gap splits sessions in-batch; timeout closes across batches") {
     val in = MemoryStream[StreamEvent](spark)
     val q = sessionize(in.toDS(), gapMs = 10 * 60000L,
