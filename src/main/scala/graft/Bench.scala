@@ -145,9 +145,11 @@ object Bench {
     // levels sit inside the machine's linear scaling region.
     val pLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_LO", "1").toInt
     val pHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_HI", "4").toInt
-    // best-of-N wall per level: the VM has heavy external load (BASELINE.md),
-    // so min wall is the least-noise estimator of the engine's own cost
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // best-of-N wall per level: the VM's external load arrives in bursts
+    // (loadavg 0.1→4.7 within minutes, BASELINE.md), so min wall is the
+    // least-noise estimator of the engine's own cost at BOTH levels —
+    // three repeats make a burst landing on one entire level unlikely
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     def bestOf(p: Int) =
       (1 to repeats).map(_ => crawlRun(p, benchCorpus, maxBatches)).minBy(_._3)
     val (f8, b8, t8) = bestOf(pLo)
