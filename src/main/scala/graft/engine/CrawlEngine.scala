@@ -4,7 +4,6 @@ import graft.core._
 import graft.state.SnapshotStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core.SeenFilter
 import scala.util.hashing.MurmurHash3
 
