@@ -1281,7 +1281,7 @@ final class CrawlEngine(
     * broadcast join, and batches without contested groups (the norm)
     * resolve in the single materialization action.
     */
-  private def resolveRekeys(cand: DataFrame, candBuckets: Set[Int])
+  private[engine] def resolveRekeys(cand: DataFrame, candBuckets: Set[Int])
       : (DataFrame, Set[Int], () => Unit) = {
     // existence probe vs the pre-batch frontier: the frontier slice
     // streams ONCE through a broadcast semi-join against the (tiny)
