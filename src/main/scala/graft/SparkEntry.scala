@@ -635,9 +635,15 @@ object SparkEntry {
           buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
                                                ELSE 0 END) AS BIGINT) AS bucket
                       FROM dots GROUP BY vec_id),
+          -- mirror cosineNearDupPairs' default maxBucket=10000 cap (the
+          -- degenerate-bucket guard must cut identically on both sides)
+          bsz AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM buckets GROUP BY bucket),
           cand AS (SELECT x.vec_id AS a, y.vec_id AS b
                    FROM buckets x JOIN buckets y
-                     ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+                     ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                   JOIN bsz z ON x.bucket = z.bucket
+                   WHERE z.c <= 10000)
           SELECT c.a, c.b,
                  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                        CAST(eb.embedding AS DOUBLE[])), 6) AS cos
@@ -653,12 +659,14 @@ object SparkEntry {
           assign AS (SELECT vec_id, cid FROM (
             SELECT v.vec_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                     ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+                     ORDER BY ROUND(list_cosine_similarity(v.ve, c.cv), 6) DESC,
+                              c.cid ASC) AS rn
             FROM v, c) WHERE rn = 1),
           probes AS (SELECT qid, cid FROM (
             SELECT v.vec_id AS qid, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                     ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+                     ORDER BY ROUND(list_cosine_similarity(v.ve, c.cv), 6) DESC,
+                              c.cid ASC) AS rn
             FROM v, c WHERE v.vec_id < 5) WHERE rn <= 4),
           cand AS (SELECT p.qid, a.vec_id FROM probes p
                    JOIN assign a ON p.cid = a.cid

@@ -253,6 +253,10 @@ final class CrawlEngine(
         SeenFilter.build(kind, expected, fpp, it.map(_.url_hash))))
     }.collect()
     bloomPaths = built.toMap
+    // commit immediately: until a manifest references the fresh sidecars,
+    // a gc/vacuum would see them as dead and delete files the in-memory
+    // bloomPaths still points at (the next batch is not guaranteed)
+    commit()
   }
 
   private def loadFilter(path: String): SeenFilter =
@@ -277,9 +281,12 @@ final class CrawlEngine(
         .as[(Int, String, String)]
         .groupByKey(_._1).mapGroups { (b, it) =>
           val existingPath = pathsBc.value.get(b)
+          // cached load: in-place adds below keep the cached instance a
+          // correct superset for any reader of the old path (see
+          // loadFilterCached); no reader runs concurrently with this
+          // task anyway (the merge completed before updateFilters)
           var f = existingPath
-            .map(p => SeenFilter.deserialize(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(p))))
+            .map(CrawlEngine.loadFilterCached)
             .getOrElse(SeenFilter.create(kind, expected, fpp))
           // buffer every row hash: a mid-update overflow rebuilds the
           // bucket's filter from the full row set in this same task
@@ -1443,12 +1450,15 @@ final class CrawlEngine(
             subR("bucket") === accNew("_1") && subR("url_hash") === accNew("_2"),
             "left_outer")
           .mapPartitions { it =>
+            // loadFilterCached: the two consumers of `marked` (maybe-seen
+            // and definitely-new branches) and later batches re-read the
+            // same sidecars — the JVM-wide path cache deserializes each
+            // version once per executor
             val cache = scala.collection.mutable.Map.empty[Int, Option[SeenFilter]]
             it.map { case (s, rk) =>
               val maybe = (rk != null) || cache.getOrElseUpdate(s.bucket,
-                pathsBc.value.get(s.bucket).map(p =>
-                  SeenFilter.deserialize(java.nio.file.Files.readAllBytes(
-                    java.nio.file.Paths.get(p))))).exists(_.mightContain(s.url_hash))
+                pathsBc.value.get(s.bucket).map(CrawlEngine.loadFilterCached))
+                .exists(_.mightContain(s.url_hash))
               (s, maybe)
             }
           }
@@ -1486,5 +1496,30 @@ private[engine] object CrawlEngine {
     val p = d.resolve(s"b_$bucket.bloom")
     java.nio.file.Files.write(p, f.serialize())
     p.toString
+  }
+
+  /** Executor-local (JVM-wide) cache of deserialized seen filters keyed
+    * by sidecar path. Paths are version-unique (every batch writes a new
+    * bloom_v<bid>/ dir), so an entry's FILE never changes; without this
+    * the merge gate and the same batch's filter update each re-read and
+    * re-deserialize every touched bucket's sidecar, and every later
+    * batch re-reads the untouched ones. The in-batch mutation of a
+    * cached instance (updateFilters folds new hashes before writing the
+    * NEXT version's file) only ever ADDS keys — a superset stays a
+    * correct may-contain answer for any concurrent reader of the old
+    * path. Bounded by wholesale clear (cheap; misses just re-read).
+    */
+  private val filterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SeenFilter]()
+  def loadFilterCached(path: String): SeenFilter = {
+    val hit = filterCache.get(path)
+    if (hit != null) hit
+    else {
+      if (filterCache.size > 64) filterCache.clear()
+      val f = SeenFilter.deserialize(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      val prev = filterCache.putIfAbsent(path, f)
+      if (prev != null) prev else f
+    }
   }
 }

@@ -209,8 +209,11 @@ object TextOps {
       // different downstream filters defeat ReuseExchange — without this
       // the whole tokenize→shingle→distinct→collect_list pipeline (the
       // expensive 90%) executes three times. Verified in the physical
-      // plan: 3 FileScans, 0 ReusedExchange.
-      .localCheckpoint()
+      // plan: 3 FileScans, 0 ReusedExchange. LAZY: the checkpoint RDD is
+      // shared by all three subtrees, so the first action computes it
+      // once — eager would run the heavy job at plan-construction time
+      // (e.g. for a bare .explain).
+      .localCheckpoint(eager = false)
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val joined = grouped
@@ -253,11 +256,15 @@ object TextOps {
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     val cents = v.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // inverted lists: every vector joins its argmax-cosine centroid
+    // inverted lists: every vector joins its argmax-cosine centroid.
+    // Ranking cosines are ROUNDED (6 dp) before the argmax, as in
+    // annLshTopK: a sub-ulp cross-engine float difference must never
+    // flip a list assignment away from the oracle's.
     val assignW = w.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), asc("cid"))
     val lists = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), cosineExpr("v", "cv").as("ccos"))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosineExpr("v", "cv"), 6).as("ccos"))
       .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
     // each query probes its nprobe best centroids
@@ -265,7 +272,8 @@ object TextOps {
     val probes = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cid"), cosineExpr("qv", "cv").as("qcos"))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(cosineExpr("qv", "cv"), 6).as("qcos"))
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
     // candidates = probed lists only; exact rerank inside them
