@@ -68,8 +68,14 @@ object Bench {
       // bucket count is a deployment knob: O(cores) locally (leaf-dir
       // listing/commit overhead dominates beyond that), thousands on a
       // real cluster; results are bucket-count independent
+      // optional engine modes, benchable via env so their cost is a
+      // measurement, not a guess: the per-bucket seen-filter prefilter
+      // and the keyed robots cache (both off in the headline run, like
+      // the reference's defaults)
       val engine = new CrawlEngine(spark, store, pages, robots,
-        EngineConfig(numBuckets = 8, maxDepth = 2, maxBatches = maxBatches))
+        EngineConfig(numBuckets = 8, maxDepth = 2, maxBatches = maxBatches,
+          useBloomPrefilter = sys.env.contains("SPARK_GRAFT_BENCH_BLOOM"),
+          useKeyedRobotsState = sys.env.contains("SPARK_GRAFT_BENCH_KEYED_ROBOTS")))
       engine.warmCorpus() // corpus generation = the "web", not crawl work
       engine.seed(seeds)
       val t0 = System.nanoTime()
