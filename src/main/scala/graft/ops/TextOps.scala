@@ -256,17 +256,27 @@ object TextOps {
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     val cents = v.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // inverted lists: every vector joins its argmax-cosine centroid.
-    // Ranking cosines are ROUNDED (6 dp) before the argmax, as in
-    // annLshTopK: a sub-ulp cross-engine float difference must never
-    // flip a list assignment away from the oracle's.
-    val assignW = w.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), asc("cid"))
-    val lists = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(cosineExpr("v", "cv"), 6).as("ccos"))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    // inverted lists: per-row argmax-cosine centroid over the BROADCAST
+    // codebook (one array of {cid, centroid} structs, cid-ascending) —
+    // the assignment is a pure projection after a 1-row broadcast join,
+    // never an Exchange of the corpus (the previous form windowed
+    // |corpus|×nlist rows through a corpus-sized shuffle). Ranking
+    // cosines are ROUNDED (6 dp) before the argmax, as in annLshTopK:
+    // a sub-ulp cross-engine float difference must never flip a list
+    // assignment away from the oracle's. Strict > over the cid-ascending
+    // scan resolves ties to the LOWEST cid — identical to the oracle's
+    // (ccos DESC, cid ASC) ranking.
+    val cbDf = cents.groupBy()
+      .agg(expr("sort_array(collect_list(struct(cid, cv)))").as("cb"))
+    val assignCid = expr(
+      s"""aggregate(
+            transform(cb, ce -> named_struct('cid', ce.cid,
+              'c', round(${cosineSql("v", "ce.cv")}, 6))),
+            named_struct('cid', cast(-1 as bigint), 'c', cast(-2.0 as double)),
+            (best, ce2) -> CASE WHEN ce2.c > best.c THEN ce2 ELSE best END
+          ).cid""")
+    val lists = v.crossJoin(broadcast(cbDf))
+      .select(col("vec_id"), col("v"), assignCid.as("cid"))
     // each query probes its nprobe best centroids
     val probeW = w.partitionBy(col("qid")).orderBy(desc("qcos"), asc("cid"))
     val probes = v.filter(col("vec_id").isin(queryIds: _*))
@@ -317,11 +327,17 @@ object TextOps {
       .filter(col("cos") >= threshold)
   }
 
-  /** Cosine similarity of two double arrays (codegen'd higher-order fns). */
-  private def cosineExpr(l: String, r: String): Column = expr(
+  /** Cosine similarity of two double arrays (codegen'd higher-order fns).
+    * SQL-string form so it can be spliced inside an enclosing lambda
+    * (ivfTopK's per-row codebook argmax); lambda vars are chosen not to
+    * collide with enclosing ones there.
+    */
+  private def cosineSql(l: String, r: String): String =
     s"""aggregate(zip_with($l, $r, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)
         / (sqrt(aggregate($l, cast(0.0 as double), (acc, v) -> acc + v * v))
-         * sqrt(aggregate($r, cast(0.0 as double), (acc, v) -> acc + v * v)))""")
+         * sqrt(aggregate($r, cast(0.0 as double), (acc, v) -> acc + v * v)))"""
+
+  private def cosineExpr(l: String, r: String): Column = expr(cosineSql(l, r))
 
   /** Brute-force cosine top-k neighbours for a set of query vectors —
     * the exactness baseline. Queries are broadcast against the corpus
