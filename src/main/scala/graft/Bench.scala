@@ -60,7 +60,10 @@ object Bench {
       val pages = spark.range(p.totalPages)
         .mapPartitions(it => it.map(i => Corpus.pageAt(p, i)))
       val robots = Corpus.robots(p)
-      val seeds = Corpus.seeds(p)
+      // distributed seed generation: no driver-local seed Seq in the task
+      // binary (300k hosts made a 21 MB task; 10^8 would OOM the driver)
+      val seeds = spark.range(p.numHosts.toLong)
+        .map(i => (i.toLong, Corpus.seedAt(i)))
       val shmRoot = java.nio.file.Paths.get("/dev/shm/graft")
       java.nio.file.Files.createDirectories(shmRoot)
       val store = new SnapshotStore(

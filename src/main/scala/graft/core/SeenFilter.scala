@@ -28,6 +28,10 @@ sealed trait SeenFilter extends Serializable {
   /** Best-effort delete; bloom cannot and returns false. */
   def remove(key: String): Boolean
   def serialize(): Array[Byte]
+  /** Deep copy (serialize round-trip): lets a task fold new keys without
+    * mutating a shared cached instance, so task RETRIES are idempotent.
+    */
+  def copyFilter(): SeenFilter = SeenFilter.deserialize(serialize())
 }
 
 final class CuckooSeenFilter(val cf: CuckooFilter) extends SeenFilter {

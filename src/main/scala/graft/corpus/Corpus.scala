@@ -196,6 +196,83 @@ object Corpus {
     page(p, i, j)
   }
 
+  /** Deterministic HTML realization of page (i, j): the page's spans and
+    * metadata wrapped in the shapes the reference's content extractor
+    * consumes (fetcher/extractor_test.go fixtures). Variant knobs are all
+    * exercised across the corpus: missing <title> (og:title fallback),
+    * missing <article> (stripped-body fallback), missing description
+    * (og:description fallback), all four published-date patterns plus
+    * none, script/style/nav/header/footer noise to strip. Output obeys
+    * the HtmlOps input contract (double-quoted attrs in source order,
+    * no entities, non-empty values, at most one <article>).
+    */
+  def pageHtml(p: CorpusParams, i: Int, j: Int): String = {
+    val pg = page(p, i, j)
+    val hasTitle = rnd(p.seed, "h_title", i, j) % 5 != 0
+    val hasArticle = rnd(p.seed, "h_article", i, j) % 4 != 0
+    val hasAuthor = rnd(p.seed, "h_author", i, j) % 3 != 0
+    val hasDesc = rnd(p.seed, "h_desc", i, j) % 3 != 0
+    val hasCanon = rnd(p.seed, "h_canon", i, j) % 2 == 0
+    val dateKind = rnd(p.seed, "h_date", i, j) % 6
+    val titleText =
+      s"Site $i Page $j: ${vocab(rnd(p.seed, "h_tw", i, j) % vocab.length)}"
+    val date = f"2024-${j % 12 + 1}%02d-${j % 28 + 1}%02dT10:30:00Z"
+    val sb = new StringBuilder("<html>\n<head>\n")
+    if (hasTitle) sb ++= s"  <title> $titleText </title>\n"
+    val ogType = if (pg.url.contains("/news/")) "article" else "website"
+    sb ++= s"""  <meta property="og:type" content="$ogType">""" + "\n"
+    sb ++= s"""  <meta property="og:title" content="OG $titleText">""" + "\n"
+    if (hasDesc)
+      sb ++= s"""  <meta name="description" content="Description of site $i page $j.">""" + "\n"
+    sb ++= s"""  <meta property="og:description" content="OG description $i-$j.">""" + "\n"
+    sb ++= s"""  <meta property="og:image" content="https://cdn.example.net/i$i/p$j/og.jpg">""" + "\n"
+    if (hasAuthor)
+      sb ++= s"""  <meta name="author" content="Reporter ${rnd(p.seed, "h_auth", i, j) % 9}">""" + "\n"
+    val kw1 = vocab(rnd(p.seed, "h_kw1", i, j) % vocab.length)
+    val kw2 = vocab(rnd(p.seed, "h_kw2", i, j) % vocab.length)
+    sb ++= s"""  <meta name="keywords" content="$kw1, $kw2">""" + "\n"
+    dateKind match {
+      case 0 =>
+        sb ++= s"""  <meta property="article:published_time" content="$date">""" + "\n"
+      case 1 => sb ++= s"""  <meta name="datePublished" content="$date">""" + "\n"
+      case 2 => sb ++= s"""  <meta name="pubdate" content="$date">""" + "\n"
+      case _ => ()
+    }
+    if (hasCanon)
+      sb ++= s"""  <link rel="canonical" href="${pg.url}">""" + "\n"
+    sb ++= "  <style>body { margin: 0; }</style>\n"
+    sb ++= "</head>\n<body>\n"
+    sb ++= s"  <header>Site $i masthead</header>\n"
+    sb ++= "  <nav>home | news | about</nav>\n"
+    val inner = new StringBuilder
+    pg.spans.foreach { s =>
+      s.kind match {
+        case "text" => inner ++= s"    <p>${s.text}</p>\n"
+        case "media" => inner ++= s"""    <img src="${s.media_ref}">""" + "\n"
+        case "jsonld" =>
+          inner ++= s"""    <script type="application/ld+json">${s.text}</script>""" + "\n"
+        case _ => ()
+      }
+    }
+    if (dateKind == 3)
+      inner ++= s"""    <time datetime="$date">published</time>""" + "\n"
+    inner ++= s"    <script>var page = $j;</script>\n"
+    pg.links.zipWithIndex.foreach { case (l, k) =>
+      if (!l.startsWith("javascript:"))
+        inner ++= s"""    <a href="$l">link $k</a>""" + "\n"
+    }
+    if (hasArticle) {
+      sb ++= "  <article>\n"
+      sb ++= s"    <h1>$titleText</h1>\n"
+      sb ++= inner
+      sb ++= "  </article>\n"
+      sb ++= "  <div>Sidebar content outside the article.</div>\n"
+    } else sb ++= inner
+    sb ++= s"  <footer>Footer for site $i</footer>\n"
+    sb ++= "</body>\n</html>"
+    sb.toString
+  }
+
   def allPages(p: CorpusParams): IndexedSeq[PageRow] =
     (0L until p.totalPages).map(pageAt(p, _))
 
@@ -217,7 +294,13 @@ object Corpus {
 
   /** One seed per host: the site root (depth 0, priority 5, origin manual). */
   def seeds(p: CorpusParams): Seq[Seed] =
-    (0 until p.numHosts).map(i => Seed(canonicalUrl(host(i), "/"), s"src-$i"))
+    (0 until p.numHosts).map(i => seedAt(i))
+
+  /** Splittable point form of [[seeds]] (seedAt(i) == seeds(p)(i)) — the
+    * distributed-seeding generator for `range(numHosts).map`.
+    */
+  def seedAt(i: Long): Seed =
+    Seed(canonicalUrl(host(i.toInt), "/"), s"src-$i")
 
   /** The reference's seed-list fixture re-expressed as corpus rows
     * (crawler/fixtures/fixture-news-site-com/, FIXTURES.md §4).

@@ -277,16 +277,19 @@ final class CrawlEngine(
       val expected = bloomExpectedPerBucket
       val fpp = cfg.bloomFpp
       val kind = cfg.seenFilterKind
+      val cacheCap = CrawlEngine.filterCacheCap(cfg.numBuckets)
       val updated = spark.read.schema(insertReadSchema).parquet(deltaLeaves: _*)
         .as[(Int, String, String)]
         .groupByKey(_._1).mapGroups { (b, it) =>
           val existingPath = pathsBc.value.get(b)
-          // cached load: in-place adds below keep the cached instance a
-          // correct superset for any reader of the old path (see
-          // loadFilterCached); no reader runs concurrently with this
-          // task anyway (the merge completed before updateFilters)
+          // fold into a DEEP COPY of the cached instance: a retried /
+          // re-executed task would otherwise re-fold the same hashes into
+          // the already-mutated cuckoo (inflating itemCount, consuming
+          // duplicate slots, and persisting the drift into the sidecar);
+          // the copy keeps the cached old-version filter exact for any
+          // later reader of the old path
           var f = existingPath
-            .map(CrawlEngine.loadFilterCached)
+            .map(p => CrawlEngine.loadFilterCached(p, cacheCap).copyFilter())
             .getOrElse(SeenFilter.create(kind, expected, fpp))
           // buffer every row hash: a mid-update overflow rebuilds the
           // bucket's filter from the full row set in this same task
@@ -663,19 +666,33 @@ final class CrawlEngine(
   // ----------------------------------------------------------------- seeding
 
   /** Seed the frontier (discovery/pipeline.go:369-379: priority 5, depth 0)
-    * and commit snapshot 0.
+    * and commit snapshot 0. Small/test entry point: delegates to the
+    * Dataset form, which is the scale path.
     */
-  def seed(seeds: Seq[Seed]): Unit = {
-    val subs = seeds.zipWithIndex.flatMap { case (sd, i) =>
+  def seed(seeds: Seq[Seed]): Unit =
+    seed(spark.createDataset(seeds.zipWithIndex.map { case (s, i) => (i.toLong, s) }))
+
+  /** Distributed seeding: seeds arrive as an indexed Dataset (index =
+    * submission linearization order, assigned BEFORE validation so a
+    * dropped invalid seed does not renumber its successors — same
+    * semantics as the Seq form ever had). 10^8 seeds never touch the
+    * driver or the task binary; generate them with `range().map` (see
+    * Bench) or read them from a table.
+    */
+  def seed(seeds: Dataset[(Long, Seed)]): Unit = {
+    val now = clock // hoisted: the flatMap closure must not capture `this`
+    val subs = seeds.flatMap { case (i, sd) =>
       (UrlNormalizer.normalize(sd.url), UrlNormalizer.urlHash(sd.url),
         UrlNormalizer.extractHost(sd.url)) match {
         case (Right(u), Right(h), Right(host)) =>
-          Some(SubRow(0, 0L, "", i, Submission(u, h, host, sd.source_id,
-            FrontierOrigin.Manual, None, 0, Priorities.Default, clock)))
+          // li is the in-batch tiebreak; Int caps the seed count at 2^31
+          // per seed() call, far above the driver-OOM point this fixes
+          Some(SubRow(0, 0L, "", i.toInt, Submission(u, h, host, sd.source_id,
+            FrontierOrigin.Manual, None, 0, Priorities.Default, now)))
         case _ => None
       }
     }
-    val subAgg = aggregateSubmissions(spark.createDataset(subs)).persist()
+    val subAgg = aggregateSubmissions(subs).persist()
     val delta = subAgg.select("bucket").distinct().as[Int].collect().toSet
     val merged = mergeSubmissions(spark.emptyDataset[(FrontierUrl, String)],
       subAgg, spark.emptyDataset[(Int, String)], math.max(1, delta.size))
@@ -724,6 +741,14 @@ final class CrawlEngine(
   def resume(): Boolean =
     store.latest() match {
       case Some(m) =>
+        // pre-bucketing snapshots stored the host table under a single
+        // 'host_state' key; silently ignoring it would resume with ALL
+        // politeness state dropped (claim order diverges) — fail loudly.
+        if (m.tables.contains("host_state"))
+          throw new IllegalStateException(
+            "unsupported legacy snapshot format: monolithic 'host_state' " +
+              "table (expected per-bucket 'host/<b>' keys); re-drain from " +
+              "the source crawl or migrate the snapshot offline")
         batchId = m.batchId
         clock = m.clock
         bucketPaths = m.buckets.map { case (k, v) =>
@@ -1352,10 +1377,10 @@ final class CrawlEngine(
         $"newHost", $"newBucket")
       var accepted = dec0.filter($"acc").select(accCols: _*).persist()
       var pend = dec0.filter($"pending").select(accCols :+ $"enabHash": _*).persist()
-      var nLeft = -1L
-      var guard = 0
-      while (nLeft != 0L && guard < 64) {
-        guard += 1
+      var nLeft = nPend.getOrElse(0L)
+      var stalled = false
+      while (nLeft != 0L && !stalled) {
+        val prev = nLeft
         val pendKeys = pend.select($"oldHash".as("pk"))
         val accKeys = accepted.select($"oldHash".as("ak"))
         val j = pend
@@ -1370,10 +1395,21 @@ final class CrawlEngine(
         accepted.unpersist(); pend.unpersist(); j.unpersist()
         accepted = nextAccepted
         pend = nextPend
+        // every non-stalled round settles (accepts or rejects) >=1 row,
+        // so the loop is bounded by the INITIAL pending count — no
+        // arbitrary round cap. A round that settles nothing means every
+        // remaining row's enabler is itself still pending: the remainder
+        // is chains into enabler CYCLES.
+        stalled = nLeft >= prev
       }
-      if (nLeft != 0L)
-        System.err.println(s"[graft] rekey chase guard hit with $nLeft pending; " +
-          "treating the remainder as collision fallbacks")
+      if (stalled)
+        // faithful, not a downgrade: each cycle member's target hash
+        // belongs to another member that stays LIVE (it too will fail),
+        // so the oracle's sequential replay rejects every one at its
+        // turn — collision fallback is exactly what dropping them does;
+        // chain rows feeding a cycle inherit the same fate inductively.
+        System.err.println(s"[graft] rekey chase: $nLeft pending in enabler " +
+          "cycles resolved as collision fallbacks (sequential-replay faithful)")
       val (ob, nb2) = accepted
         .agg(collect_set($"oldBucket"), collect_set($"newBucket"))
         .as[(Seq[Int], Seq[Int])].first()
@@ -1445,6 +1481,7 @@ final class CrawlEngine(
       if (!cfg.useBloomPrefilter) (subR, spark.emptyDataset[SubFirst])
       else {
         val pathsBc = spark.sparkContext.broadcast(bloomPaths)
+        val cacheCap = CrawlEngine.filterCacheCap(cfg.numBuckets)
         val marked: Dataset[(SubFirst, Boolean)] = subR
           .joinWith(broadcast(accNew),
             subR("bucket") === accNew("_1") && subR("url_hash") === accNew("_2"),
@@ -1457,7 +1494,8 @@ final class CrawlEngine(
             val cache = scala.collection.mutable.Map.empty[Int, Option[SeenFilter]]
             it.map { case (s, rk) =>
               val maybe = (rk != null) || cache.getOrElseUpdate(s.bucket,
-                pathsBc.value.get(s.bucket).map(CrawlEngine.loadFilterCached))
+                pathsBc.value.get(s.bucket)
+                  .map(CrawlEngine.loadFilterCached(_, cacheCap)))
                 .exists(_.mightContain(s.url_hash))
               (s, maybe)
             }
@@ -1503,23 +1541,35 @@ private[engine] object CrawlEngine {
     * bloom_v<bid>/ dir), so an entry's FILE never changes; without this
     * the merge gate and the same batch's filter update each re-read and
     * re-deserialize every touched bucket's sidecar, and every later
-    * batch re-reads the untouched ones. The in-batch mutation of a
-    * cached instance (updateFilters folds new hashes before writing the
-    * NEXT version's file) only ever ADDS keys — a superset stays a
-    * correct may-contain answer for any concurrent reader of the old
-    * path. Bounded by wholesale clear (cheap; misses just re-read).
+    * batch re-reads the untouched ones. Cached instances are never
+    * mutated (updateFilters folds into a copyFilter()), so a hit is
+    * always the exact persisted filter. LRU-bounded with a cap scaled to
+    * the engine's bucket count — a wholesale clear() at a fixed 64 wiped
+    * the cache every batch once numBuckets (a thousands-scale cluster
+    * knob) outgrew it, forcing every sidecar to re-deserialize per batch.
     */
+  def filterCacheCap(numBuckets: Int): Int = math.max(256, 4 * numBuckets)
   private val filterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, SeenFilter]()
-  def loadFilterCached(path: String): SeenFilter = {
-    val hit = filterCache.get(path)
-    if (hit != null) hit
-    else {
-      if (filterCache.size > 64) filterCache.clear()
-      val f = SeenFilter.deserialize(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-      val prev = filterCache.putIfAbsent(path, f)
-      if (prev != null) prev else f
+    new java.util.LinkedHashMap[String, SeenFilter](64, 0.75f, true)
+  def loadFilterCached(path: String, cap: Int): SeenFilter = {
+    filterCache.synchronized {
+      val hit = filterCache.get(path)
+      if (hit != null) return hit
+    }
+    // deserialize OUTSIDE the lock: concurrent misses on different paths
+    // must not serialize their file IO behind one monitor
+    val f = SeenFilter.deserialize(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    filterCache.synchronized {
+      val prev = filterCache.get(path)
+      if (prev != null) prev
+      else {
+        filterCache.put(path, f)
+        // access-ordered map iterates least-recently-used first
+        val it = filterCache.entrySet().iterator()
+        while (filterCache.size > cap && it.hasNext) { it.next(); it.remove() }
+        f
+      }
     }
   }
 }

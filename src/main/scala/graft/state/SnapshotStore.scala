@@ -125,11 +125,14 @@ final class SnapshotStore(rootDir: String) {
     val dataDir = root.resolve("data")
     Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
       val name = d.getFileName.toString
-      // STATE dirs: frontier buckets, host-state buckets, and the
-      // seen-filter sidecars (bloom_v*) — all carry-forward tables whose
-      // liveness comes from the kept manifests.
+      // STATE dirs: frontier buckets, host-state buckets, the seen-filter
+      // sidecars (bloom_v*), and the versioned curation tables (each
+      // upsert rewrites the whole table under a new _c<N> dir — without
+      // pruning, curation churn grows disk unboundedly) — all
+      // carry-forward tables whose liveness comes from the kept manifests.
       val isState = name.startsWith("frontier_v") ||
-        name.startsWith("host_state_v") || name.startsWith("bloom_v")
+        name.startsWith("host_state_v") || name.startsWith("bloom_v") ||
+        name.startsWith("sources_c") || name.startsWith("domain_states_c")
       if (isState) {
         if (!isLive(d)) { deleteRecursively(d); removed += 1 }
         else if (name.startsWith("bloom_v")) {

@@ -158,6 +158,21 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(engineState(e3) == engineState(e1))
   }
 
+  test("resume: legacy monolithic 'host_state' snapshot fails loudly") {
+    val store = newStore()
+    // hand-craft a pre-bucketing manifest: host table under one key
+    val hostDir = java.nio.file.Paths.get(store.dataPath("host_state_v0"))
+    Files.createDirectories(hostDir)
+    store.commit(store.Manifest(3, 123L, Map.empty,
+      Map("host_state" -> hostDir.toString)))
+    val e = mkEngine(Nil, Nil, EngineConfig(numBuckets = 8))
+    val e2 = new CrawlEngine(spark, store, spark.createDataset(Seq.empty[PageRow]),
+      Nil, EngineConfig(numBuckets = 8))
+    val ex = intercept[IllegalStateException](e2.resume())
+    assert(ex.getMessage.contains("legacy snapshot"))
+    assert(e.batchId == 0) // untouched engine unaffected
+  }
+
   test("bloom seen-set prefilter changes nothing: identical state + claims") {
     val p = CorpusParams(numHosts = 5, pagesPerHost = 6, skewHosts = 1,
       skewFactor = 2, outdegree = 3)

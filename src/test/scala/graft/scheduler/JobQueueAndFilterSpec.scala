@@ -129,4 +129,34 @@ class JobQueueAndFilterSpec extends AnyFunSuite {
     // latest manifest still resolves
     assert(store.latest().exists(_.batchId == 1))
   }
+
+  test("snapshot vacuum prunes superseded curation-table versions (_c dirs)") {
+    val dir = java.nio.file.Files.createTempDirectory("vac-c").toString
+    val store = new SnapshotStore(dir)
+    def mkData(name: String): String = {
+      val p = java.nio.file.Paths.get(store.dataPath(name))
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("part-0.parquet"), "x")
+      p.toString
+    }
+    val f0 = mkData("frontier_v0/bucket_p=0/pend_p=true")
+    val s1 = mkData("sources_c1")
+    val d1 = mkData("domain_states_c1")
+    store.commit(store.Manifest(0, 0L, Map("0/p" -> f0),
+      Map("sources" -> s1, "domain_states" -> d1)))
+    // next upsert rewrites sources under a new version; domain_states
+    // carries forward
+    val s2 = mkData("sources_c2")
+    store.commit(store.Manifest(1, 1L, Map("0/p" -> f0),
+      Map("sources" -> s2, "domain_states" -> d1)))
+
+    val removed = store.vacuum(keepLast = 1)
+    assert(removed >= 1) // sources_c1
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s1)),
+      "superseded sources_c1 pruned")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s2)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d1)),
+      "carried-forward domain_states_c1 survives")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f0)))
+  }
 }
