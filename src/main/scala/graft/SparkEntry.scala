@@ -6,7 +6,7 @@ import graft.engine.{CrawlEngine, EngineConfig}
 import graft.functions.{UrlExpressions, UrlUdfs}
 import graft.ops.TextOps
 import graft.state.SnapshotStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -39,6 +39,64 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic HTML page for each documents row — q37's input,
+    * mirrored token-for-token in the DuckDB oracle. Branches cover every
+    * extractor precedence path: doc_id%5 picks title-absent (og
+    * fallback) and the published-date pattern; %3 description fallback;
+    * %4 article-vs-body and author-absent; %7 og:image absent; %2
+    * canonical absent.
+    */
+  private def docHtmlCol: Column = {
+    val id = col("doc_id").cast("string")
+    val m5 = col("doc_id") % 5
+    val date = concat(lit("2024-"),
+      lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"), lit("-"),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+      lit("T10:30:00Z"))
+    val para = concat(lit("<p>"), col("text"), lit("</p>"))
+    val timeEl = when(m5 === 3,
+      concat(lit("<time datetime=\""), date, lit("\">published</time>")))
+      .otherwise(lit(""))
+    val scriptEl = concat(lit("<script>var d = "), id, lit(";</script>"))
+    concat(
+      lit("<html><head>"),
+      when(m5 =!= 0, concat(lit("<title> Doc "), id, lit(" from "),
+        col("source"), lit(" </title>"))).otherwise(lit("")),
+      lit("<meta property=\"og:type\" content=\"article\">"),
+      concat(lit("<meta property=\"og:title\" content=\"OG Doc "), id,
+        lit("\">")),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit("<meta name=\"description\" content=\"Summary of doc "),
+          id, lit(".\">"))).otherwise(lit("")),
+      concat(lit("<meta property=\"og:description\" content=\"OG summary "),
+        id, lit(".\">")),
+      when(col("doc_id") % 7 =!= 0,
+        concat(lit("<meta property=\"og:image\" content=\"https://img.example.com/"),
+          id, lit(".jpg\">"))).otherwise(lit("")),
+      when(col("doc_id") % 4 =!= 1,
+        concat(lit("<meta name=\"author\" content=\"Writer "),
+          (col("doc_id") % 7).cast("string"), lit("\">"))).otherwise(lit("")),
+      concat(lit("<meta name=\"keywords\" content=\""), col("lang"),
+        lit(", "), col("source"), lit("\">")),
+      when(m5 === 0, concat(
+        lit("<meta property=\"article:published_time\" content=\""), date,
+        lit("\">")))
+        .when(m5 === 1, concat(lit("<meta name=\"datePublished\" content=\""),
+          date, lit("\">")))
+        .when(m5 === 2, concat(lit("<meta name=\"pubdate\" content=\""),
+          date, lit("\">")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://docs.example.com/"),
+          id, lit("\">"))).otherwise(lit("")),
+      lit("</head><body><header>Docs masthead</header><nav>home | docs</nav>"),
+      when(col("doc_id") % 4 =!= 0,
+        concat(lit("<article><h1>Doc "), id, lit("</h1>"), para, timeEl,
+          scriptEl, lit("</article><div>Sidebar text.</div>")))
+        .otherwise(concat(para, timeEl, scriptEl)),
+      lit("<footer>Docs footer</footer></body></html>"))
+  }
 
   // dirty URL built from part rows — exercises the full normalizer
   private def dirtyUrl = concat(lit("HTTP://EXAMPLE.com:80/"),
@@ -273,6 +331,23 @@ object SparkEntry {
         concat(lit("note-"), (col("id") % 3).cast("string")).as("notes"))
       graft.engine.DomainViews.aggregate(s, links, Some(states),
         minLinkCount = 5L, limit = 40, offset = 3)
+    }),
+
+    // ---- HTML field extraction (fetcher/extractor.go precedence rules
+    //      as one codegen'd Generate projection): pages are CONSTRUCTED
+    //      deterministically from the documents table so the DuckDB
+    //      oracle can mirror both the construction and the extraction —
+    //      title→og:title fallback, description→og:description,
+    //      4-pattern published-date precedence, article-preferred body
+    //      with script/style/nav/header/footer stripped, sha256 content
+    //      hash + whitespace word count all value-checked ----
+    "q37_html_extract" -> ((s, d) => {
+      val withHtml = t(s, d, "documents").withColumn("html", docHtmlCol)
+      graft.ops.HtmlOps.extractFields(withHtml, "html", "doc_id")
+        .select("doc_id", "title", "description", "author", "content_hash",
+          "word_count", "og_type", "og_title", "og_description", "og_image",
+          "canonical_url", "meta_keywords", "published_date")
+        .orderBy("doc_id")
     }),
 
     // ---- upsert view (the discovered_links latest-wins shape: one
@@ -570,6 +645,82 @@ object SparkEntry {
                 CAST((2 + doc_id % 16) * (2 + (doc_id // 16) % 8) AS BIGINT) AS n_px,
                 CAST(doc_id % 256 AS BIGINT) AS mean_luma
          FROM documents ORDER BY doc_id""",
+
+    // Mirrors docHtmlCol token-for-token, then re-extracts with the same
+    // regex semantics (RE2 needs explicit 'g'; Spark replaces globally by
+    // default). NULLIF(...,'') makes regex-miss and empty-value both fall
+    // through COALESCE precedence exactly like the Spark side.
+    "q37_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head>'
+             || CASE WHEN doc_id % 5 <> 0 THEN '<title> Doc ' || CAST(doc_id AS VARCHAR) || ' from ' || source || ' </title>' ELSE '' END
+             || '<meta property="og:type" content="article">'
+             || '<meta property="og:title" content="OG Doc ' || CAST(doc_id AS VARCHAR) || '">'
+             || CASE WHEN doc_id % 3 <> 0 THEN '<meta name="description" content="Summary of doc ' || CAST(doc_id AS VARCHAR) || '.">' ELSE '' END
+             || '<meta property="og:description" content="OG summary ' || CAST(doc_id AS VARCHAR) || '.">'
+             || CASE WHEN doc_id % 7 <> 0 THEN '<meta property="og:image" content="https://img.example.com/' || CAST(doc_id AS VARCHAR) || '.jpg">' ELSE '' END
+             || CASE WHEN doc_id % 4 <> 1 THEN '<meta name="author" content="Writer ' || CAST(doc_id % 7 AS VARCHAR) || '">' ELSE '' END
+             || '<meta name="keywords" content="' || lang || ', ' || source || '">'
+             || CASE doc_id % 5
+                  WHEN 0 THEN '<meta property="article:published_time" content="' || dt || '">'
+                  WHEN 1 THEN '<meta name="datePublished" content="' || dt || '">'
+                  WHEN 2 THEN '<meta name="pubdate" content="' || dt || '">'
+                  ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '<link rel="canonical" href="https://docs.example.com/' || CAST(doc_id AS VARCHAR) || '">' ELSE '' END
+             || '</head><body><header>Docs masthead</header><nav>home | docs</nav>'
+             || CASE WHEN doc_id % 4 <> 0
+                  THEN '<article><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' || tm || sc || '</article><div>Sidebar text.</div>'
+                  ELSE '<p>' || text || '</p>' || tm || sc END
+             || '<footer>Docs footer</footer></body></html>' AS html
+           FROM (
+             SELECT *,
+               '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T10:30:00Z' AS dt,
+               CASE WHEN doc_id % 5 = 3 THEN '<time datetime="' || '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T10:30:00Z' || '">published</time>' ELSE '' END AS tm,
+               '<script>var d = ' || CAST(doc_id AS VARCHAR) || ';</script>' AS sc
+             FROM documents)
+         ), e0 AS (
+           SELECT doc_id, html,
+             regexp_extract(html, '(?s)<article>(.*?)</article>', 1) AS art,
+             regexp_extract(html, '(?s)<body>(.*?)</body>', 1) AS bod
+           FROM h
+         ), e1 AS (
+           SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               CASE WHEN art <> '' THEN art ELSE bod END,
+               '(?s)<script[^>]*>.*?</script>', '', 'g'),
+               '(?s)<style[^>]*>.*?</style>', '', 'g'),
+               '(?s)<nav[^>]*>.*?</nav>', '', 'g'),
+               '(?s)<header[^>]*>.*?</header>', '', 'g'),
+               '(?s)<footer[^>]*>.*?</footer>', '', 'g') AS stripped
+           FROM e0
+         ), e2 AS (
+           SELECT doc_id, html,
+             regexp_replace(regexp_replace(stripped, '<[^>]*>', '', 'g'), '^\s+|\s+$', '', 'g') AS btext
+           FROM e1
+         )
+         SELECT doc_id,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '(?s)<title>(.*?)</title>', 1), '^\s+|\s+$', '', 'g'), ''),
+                    NULLIF(regexp_replace(regexp_extract(html, '<meta property="og:title" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    '') AS title,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta name="description" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    NULLIF(regexp_replace(regexp_extract(html, '<meta property="og:description" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    '') AS description,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta name="author" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS author,
+           sha256(btext) AS content_hash,
+           CAST(CASE WHEN btext = '' THEN 0 ELSE len(regexp_split_to_array(btext, '\s+')) END AS BIGINT) AS word_count,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta property="og:type" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS og_type,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta property="og:title" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS og_title,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta property="og:description" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS og_description,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta property="og:image" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS og_image,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS canonical_url,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta name="keywords" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''), '') AS meta_keywords,
+           COALESCE(NULLIF(regexp_replace(regexp_extract(html, '<meta property="article:published_time" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    NULLIF(regexp_replace(regexp_extract(html, '<meta name="datePublished" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    NULLIF(regexp_replace(regexp_extract(html, '<meta name="pubdate" content="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    NULLIF(regexp_replace(regexp_extract(html, '<time datetime="([^"]*)"', 1), '^\s+|\s+$', '', 'g'), ''),
+                    '') AS published_date
+         FROM e2 ORDER BY doc_id""",
 
     "q32_upsert_view" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
