@@ -112,8 +112,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ANN quality: recall@10 of the LSH-bucket path vs the exact baseline
-    // (the quantity the (tables, planes) trade-off is spent on).
+    // ANN quality: recall@10 vs the exact baseline, reported as a CURVE —
+    // 3 operating points per index family, so the recall/cost dial is
+    // documented data: LSH sweeps the table count (candidates scale
+    // linearly with tables), IVF sweeps nprobe (corpus scanned ∝
+    // nprobe/nlist). The headline keys keep the round-3 operating points.
     val recall = if (skipQueries) Nil else {
       try {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -122,17 +125,21 @@ object Bench {
           .select("qid", "vec_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val exact = pairs(graft.ops.TextOps.cosineTopK(emb, qids, 10))
-        // operating point: 8 tables × 4 planes — candidate sets ~N/16 per
-        // table, the recall-vs-cost trade a real deployment would start at
-        val ann = pairs(graft.ops.TextOps.annLshTopK(emb, qids, 10,
-          planes = 4, tables = 8))
-        // IVF at 1/4 of the lists probed — the other index family's
-        // recall/cost point beside the LSH one
-        val ivf = pairs(graft.ops.TextOps.ivfTopK(emb, qids, 10,
-          nlist = 16, nprobe = 4))
         def recall(got: Set[(Long, Long)]) =
           if (exact.isEmpty) 0.0 else got.intersect(exact).size.toDouble / exact.size
-        Seq("ann_recall_at_10" -> recall(ann), "ivf_recall_at_10" -> recall(ivf))
+        val annCurve = Seq(4, 8, 16).map { tables =>
+          s"ann_recall_at_10_t$tables" -> recall(pairs(
+            graft.ops.TextOps.annLshTopK(emb, qids, 10, planes = 4, tables = tables)))
+        }
+        val ivfCurve = Seq(2, 4, 8).map { nprobe =>
+          s"ivf_recall_at_10_np$nprobe" -> recall(pairs(
+            graft.ops.TextOps.ivfTopK(emb, qids, 10, nlist = 16, nprobe = nprobe)))
+        }
+        annCurve ++ ivfCurve ++ Seq(
+          "ann_recall_at_10" -> annCurve.collectFirst {
+            case (k, v) if k.endsWith("t8") => v }.getOrElse(-1.0),
+          "ivf_recall_at_10" -> ivfCurve.collectFirst {
+            case (k, v) if k.endsWith("np4") => v }.getOrElse(-1.0))
       } catch { case _: Throwable => Seq("ann_recall_at_10" -> -1.0) }
     }
     spark.stop()
@@ -156,13 +163,55 @@ object Bench {
     val pHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_P_HI", "4").toInt
     // best-of-N wall per level: the VM's external load arrives in bursts
     // (loadavg 0.1→4.7 within minutes, BASELINE.md), so min wall is the
-    // least-noise estimator of the engine's own cost at BOTH levels —
-    // three repeats make a burst landing on one entire level unlikely
+    // least-noise estimator of the engine's own cost at BOTH levels.
+    // Runs are LOAD-GATED (per CLAUDE.md: bench only when 1-min load is
+    // quiet) with a bounded wait, INTERLEAVED lo/hi so a long burst
+    // cannot land on one entire level, and a run that a burst provably
+    // hit (load jumped past the gate while it ran) earns one bounded
+    // retry — the measurement is made reproducible instead of arguing
+    // with the noise.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    def bestOf(p: Int) =
-      (1 to repeats).map(_ => crawlRun(p, benchCorpus, maxBatches)).minBy(_._3)
-    val (f8, b8, t8) = bestOf(pLo)
-    val (f32, b32, t32) = bestOf(pHi)
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5").toDouble
+    val loadWaitBudget = // total seconds of gate-waiting across the bench
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "420").toLong
+    var waitLeft = loadWaitBudget
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    def awaitQuiet(): Double = {
+      var l = load1()
+      while (l >= loadGate && waitLeft > 0) {
+        System.err.println(f"[bench] load $l%.2f >= gate $loadGate%.1f; waiting (${waitLeft}s budget left)")
+        Thread.sleep(15000); waitLeft -= 15; l = load1()
+      }
+      l
+    }
+    def gatedRun(p: Int): (Long, Long, Double, Boolean) = {
+      awaitQuiet()
+      val r = crawlRun(p, benchCorpus, maxBatches)
+      val after = load1()
+      val burstHit = after >= loadGate + 1.0
+      if (burstHit)
+        System.err.println(f"[bench] p$p run saw load burst (after=$after%.2f)")
+      (r._1, r._2, r._3, burstHit)
+    }
+    val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double)]]()
+      .withDefaultValue(Nil)
+    var retriesLeft = 2
+    (1 to repeats).foreach { _ =>
+      Seq(pLo, pHi).foreach { p => // interleaved: lo, hi, lo, hi, ...
+        val (f, b, t, burst) = gatedRun(p)
+        samples(p) ::= ((f, b, t))
+        if (burst && retriesLeft > 0) { // one bounded make-up run
+          retriesLeft -= 1
+          val (f2, b2, t2, _) = gatedRun(p)
+          samples(p) ::= ((f2, b2, t2))
+        }
+      }
+    }
+    val (f8, b8, t8) = samples(pLo).minBy(_._3)
+    val (f32, b32, t32) = samples(pHi).minBy(_._3)
     val thr8 = f8 / t8
     val thr32 = f32 / t32
     val efficiency = (thr32 / thr8) / (pHi.toDouble / pLo)

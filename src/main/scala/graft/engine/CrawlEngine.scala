@@ -605,6 +605,7 @@ final class CrawlEngine(
   private def manualRewrite(hit: org.apache.spark.sql.Column,
       transform: DataFrame => DataFrame,
       onAffected: Array[(Int, String)] => Unit = _ => ()): Long = {
+    dropMinReadyPrefetch() // state is about to change under the aggregate
     val affected = frontier().toDF().filter(hit)
       .select($"bucket", $"url_hash").as[(Int, String)].collect()
     if (affected.isEmpty) return 0L
@@ -680,6 +681,7 @@ final class CrawlEngine(
     * Bench) or read them from a table.
     */
   def seed(seeds: Dataset[(Long, Seed)]): Unit = {
+    dropMinReadyPrefetch()
     val now = clock // hoisted: the flatMap closure must not capture `this`
     val subs = seeds.flatMap { case (i, sd) =>
       (UrlNormalizer.normalize(sd.url), UrlNormalizer.urlHash(sd.url),
@@ -738,7 +740,8 @@ final class CrawlEngine(
          else Map("domain_states" -> domainStatesPath))))
 
   /** Resume from the latest committed snapshot. */
-  def resume(): Boolean =
+  def resume(): Boolean = {
+    dropMinReadyPrefetch()
     store.latest() match {
       case Some(m) =>
         // pre-bucketing snapshots stored the host table under a single
@@ -774,6 +777,7 @@ final class CrawlEngine(
         true
       case None => false
     }
+  }
 
   // ----------------------------------------------------------------- batches
 
@@ -797,21 +801,47 @@ final class CrawlEngine(
     * claim job at every politeness-parked batch boundary.
     */
   def step(): Boolean = {
-    val minReady = timed("min_ready") {
-      withReadiness().agg(min($"ready_at")).as[Option[Long]].first()
+    // consume the prefetched aggregate when the previous batch kicked one
+    // off (it overlaps that batch's sink awaits + commit) — the fallback
+    // is the plain synchronous job
+    val minReady = minReadyPre match {
+      case Some(f) =>
+        minReadyPre = None
+        timed("min_ready") {
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        }
+      case None => timed("min_ready") {
+        withReadiness().agg(min($"ready_at")).as[Option[Long]].first()
+      }
     }
     minReady match {
       case None => false // drained
       case Some(t) =>
         clock = math.max(clock, t)
-        claimAt(clock) match {
-          case Some((claimsDf, buckets)) =>
-            batchId += 1
-            runBatch(claimsDf, buckets)
-            true
-          case None => false // unreachable: the min-ready row is eligible
-        }
+        // non-empty is guaranteed: the min-ready row satisfies both claim
+        // conjuncts at the advanced clock, so the batch always has >=1
+        // claim (runBatch asserts when it awaits the bucket set)
+        val (claimsDf, bucketsF) = claimAt(clock)
+        batchId += 1
+        runBatch(claimsDf, bucketsF)
+        true
     }
+  }
+
+  /** Prefetched next-batch min(ready_at): spawned once a batch's state
+    * writes (frontier + host buckets) are durable, so it overlaps the
+    * remaining sink awaits, the manifest commit and the driver's
+    * inter-batch bookkeeping. Any out-of-band state mutation must call
+    * [[dropMinReadyPrefetch]] first.
+    */
+  private var minReadyPre: Option[scala.concurrent.Future[Option[Long]]] = None
+
+  private def dropMinReadyPrefetch(): Unit = {
+    // drain, don't abandon: an in-flight plan must not race the caller's
+    // bucketPaths/hostPaths mutation
+    minReadyPre.foreach(f =>
+      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
+    minReadyPre = None
   }
 
   /** pending ⋈ host_state with per-row readiness (S1 politeness
@@ -832,7 +862,7 @@ final class CrawlEngine(
     * rows reduces locally on every partition before the shuffle — the
     * window form would sort that host's entire row set in one task.
     */
-  private def claimAt(now: Long): Option[(Dataset[FrontierUrl], Set[Int])] = {
+  private def claimAt(now: Long): (Dataset[FrontierUrl], scala.concurrent.Future[Set[Int]]) = {
     val fields = frontierSchema.fieldNames
     val eligible = withReadiness()
       // both conjuncts on literal `now`: the next_fetch_at one is pushed
@@ -845,13 +875,16 @@ final class CrawlEngine(
         struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"))
       .select($"top.*").as[FrontierUrl]
       .persist() // every downstream consumer reads the cached claims
-    // ONE action both materializes the cache and returns the touched
-    // buckets (the old shape paid a separate distinct-collect job)
-    val buckets = timed("claims") {
+    // the touched-bucket collection runs ASYNC: nothing on the batch's
+    // serial path needs it until the delta-bucket union right before the
+    // merge (keyed-robots mode and the host write await it themselves),
+    // so its ~1 job of latency comes off the per-batch floor. Whichever
+    // consumer job lands first materializes the shared claims cache.
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bucketsF = scala.concurrent.Future(timed("claims") {
       claimsDf.agg(collect_set($"bucket")).as[Seq[Int]].first().toSet
-    }
-    if (buckets.isEmpty) { claimsDf.unpersist(); None }
-    else Some((claimsDf, buckets))
+    })
+    (claimsDf, bucketsF)
   }
 
   private val trace = sys.env.contains("GRAFT_TRACE")
@@ -864,7 +897,7 @@ final class CrawlEngine(
   }
 
   private def runBatch(claims: Dataset[FrontierUrl],
-      claimsBuckets: Set[Int]): Unit = {
+      claimsBucketsF: scala.concurrent.Future[Set[Int]]): Unit = {
     val now = clock
     val bid = batchId
     val nb = cfg.numBuckets
@@ -918,6 +951,7 @@ final class CrawlEngine(
         val ttl = cfg.robotsTtlMs
         val tl = robotsTimelineBc
         val ch = claims.map(_.host).distinct().toDF("host")
+        val claimsBuckets = Await.result(claimsBucketsF, Duration.Inf)
         val cached = hostSlice(claimsBuckets).toDF()
           .select($"host", $"robots_body", $"robots_status", $"robots_fetched_at")
           .join(broadcast(ch), Seq("host"), "left_semi")
@@ -1044,6 +1078,11 @@ final class CrawlEngine(
     // the claim-host buckets are rewritten; everything else carries
     // forward (host_state_repository.go:46-51 single-row semantics) ----
     val hostF = Future(timed("host_write") {
+      val claimsBuckets = scala.concurrent.blocking {
+        Await.result(claimsBucketsF, Duration.Inf)
+      }
+      require(claimsBuckets.nonEmpty,
+        "empty claim set in a batch min_ready proved non-empty")
       val touched = resolved
         .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
         .map(_.claim.host).distinct().toDF("host")
@@ -1211,6 +1250,7 @@ final class CrawlEngine(
     // delta = claimed rows' buckets ∪ re-key old/new buckets ∪ submission
     // buckets; every other bucket's leaves carry forward untouched.
     val subBuckets = Await.result(subBucketsF, Duration.Inf)
+    val claimsBuckets = Await.result(claimsBucketsF, Duration.Inf)
     val deltaBuckets = claimsBuckets ++ subBuckets ++ rekeyBuckets
 
     // ---- apply outcomes then submissions (the batch linearization) ----
@@ -1275,12 +1315,18 @@ final class CrawlEngine(
     // executor-side seen-filter upkeep from the just-written delta files
     updateFilters(deltaLeaves, bid)
 
-    // all sinks must be durable before the snapshot pointer moves
+    // all sinks must be durable before the snapshot pointer moves. The
+    // host write is awaited FIRST: once frontier + host buckets are both
+    // durable the next batch's min(ready_at) input is final, so its
+    // aggregate prefetches here and overlaps the remaining awaits, the
+    // manifest commit and the inter-batch driver bookkeeping.
+    Await.result(hostF, Duration.Inf)
+    minReadyPre = Some(Future(
+      withReadiness().agg(min($"ready_at")).as[Option[Long]].first()))
     Await.result(claimLogF, Duration.Inf)
     Await.result(docsF, Duration.Inf)
     Await.result(linksF, Duration.Inf)
     Await.result(lineageF, Duration.Inf)
-    Await.result(hostF, Duration.Inf)
     commit()
     rekeyCleanup()
     robotsEffDs.foreach(_.unpersist())
