@@ -951,8 +951,13 @@ final class CrawlEngine(
         val ttl = cfg.robotsTtlMs
         val tl = robotsTimelineBc
         val ch = claims.map(_.host).distinct().toDF("host")
-        val claimsBuckets = Await.result(claimsBucketsF, Duration.Inf)
-        val cached = hostSlice(claimsBuckets).toDF()
+        // full host slice + broadcast semi join, NOT hostSlice(claim
+        // buckets): awaiting the async bucket set here would re-serialize
+        // the claims aggregate into the critical path (measured +1.5
+        // s/batch), and bucket pruning only beats the semi join when a
+        // batch claims so few hosts that whole buckets go untouched —
+        // at healthy batch sizes every bucket is hit anyway
+        val cached = hostSlice(hostPaths.keySet).toDF()
           .select($"host", $"robots_body", $"robots_status", $"robots_fetched_at")
           .join(broadcast(ch), Seq("host"), "left_semi")
         val eff = ch.join(broadcast(cached), Seq("host"), "left_outer")
@@ -968,7 +973,10 @@ final class CrawlEngine(
                 row.map(_.status_code).getOrElse(404), now, refreshed = true)
             }
           }.persist()
-        eff.count() // materialize once; the gate + host write both read it
+        // LAZY: no eager count() job — the first consumer (the gate's
+        // broadcast inside the fetch chain, or the host write) computes
+        // the cached plan, so keyed-robots mode costs no extra serial
+        // job per batch; the persist dedups across the two consumers
         eff
       })
 
@@ -1312,8 +1320,11 @@ final class CrawlEngine(
         .write.mode("overwrite").parquet(store.dataPath(s"lineage_v$bid"))
     })
 
-    // executor-side seen-filter upkeep from the just-written delta files
-    updateFilters(deltaLeaves, bid)
+    // executor-side seen-filter upkeep from the just-written delta files —
+    // async like the sinks (it only reads the durable delta leaves and
+    // mutates bloomPaths at the end), awaited before commit() snapshots
+    // the sidecar paths
+    val filtersF = Future(updateFilters(deltaLeaves, bid))
 
     // all sinks must be durable before the snapshot pointer moves. The
     // host write is awaited FIRST: once frontier + host buckets are both
@@ -1327,6 +1338,7 @@ final class CrawlEngine(
     Await.result(docsF, Duration.Inf)
     Await.result(linksF, Duration.Inf)
     Await.result(lineageF, Duration.Inf)
+    Await.result(filtersF, Duration.Inf)
     commit()
     rekeyCleanup()
     robotsEffDs.foreach(_.unpersist())
