@@ -94,8 +94,36 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // ---- 1) query suite timings ----
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5").toDouble
+    val loadWaitBudget = // total seconds of gate-waiting across the bench
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "420").toLong
+    var waitLeft = loadWaitBudget
+    // external-load gauge: the INSTANTANEOUS runnable count from
+    // /proc/loadavg field 4 ("R/total", minus this sampler). Unlike the
+    // 1-min average it is not polluted by our own just-finished run (our
+    // threads park instantly; the average takes minutes to decay), so
+    // the gate never burns budget waiting out self-load.
+    def runnableNow(): Int =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(3).split("/")(0).toInt - 1
+      catch { case _: Throwable => 0 }
+    def externalBusy(): Int = { // median of 5 one-second samples
+      val xs = (1 to 5).map { _ => Thread.sleep(1000); runnableNow() }.sorted
+      xs(2)
+    }
+    def awaitQuiet(): Unit = {
+      var b = externalBusy()
+      while (b > loadGate && waitLeft > 0) {
+        System.err.println(
+          s"[bench] external runnable ~$b > gate $loadGate; waiting (${waitLeft}s budget left)")
+        Thread.sleep(10000); waitLeft -= 15; b = externalBusy()
+      }
+    }
+
+    // ---- 1) query suite timings (gated like the crawl: comparable
+    //      numbers round-over-round need a quiet machine) ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    if (!skipQueries) awaitQuiet()
     val spark = session(cpus)
     // untimed session warmup: JIT + codegen compiler + parquet footer
     // caches are session costs, not properties of whichever query sorts
@@ -171,42 +199,25 @@ object Bench {
     // retry — the measurement is made reproducible instead of arguing
     // with the noise.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5").toDouble
-    val loadWaitBudget = // total seconds of gate-waiting across the bench
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "420").toLong
-    var waitLeft = loadWaitBudget
-    def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => 0.0 }
-    def awaitQuiet(): Double = {
-      var l = load1()
-      while (l >= loadGate && waitLeft > 0) {
-        System.err.println(f"[bench] load $l%.2f >= gate $loadGate%.1f; waiting (${waitLeft}s budget left)")
-        Thread.sleep(15000); waitLeft -= 15; l = load1()
-      }
-      l
-    }
-    def gatedRun(p: Int): (Long, Long, Double, Boolean) = {
+    def gatedRun(p: Int): (Long, Long, Double) = {
       awaitQuiet()
-      val r = crawlRun(p, benchCorpus, maxBatches)
-      val after = load1()
-      val burstHit = after >= loadGate + 1.0
-      if (burstHit)
-        System.err.println(f"[bench] p$p run saw load burst (after=$after%.2f)")
-      (r._1, r._2, r._3, burstHit)
+      crawlRun(p, benchCorpus, maxBatches)
     }
     val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double)]]()
       .withDefaultValue(Nil)
     var retriesLeft = 2
     (1 to repeats).foreach { _ =>
       Seq(pLo, pHi).foreach { p => // interleaved: lo, hi, lo, hi, ...
-        val (f, b, t, burst) = gatedRun(p)
-        samples(p) ::= ((f, b, t))
-        if (burst && retriesLeft > 0) { // one bounded make-up run
+        val r = gatedRun(p)
+        samples(p) ::= r
+        // wall-time outlier vs the level's best so far ⇒ a burst likely
+        // hit this run: one bounded make-up run
+        val best = samples(p).map(_._3).min
+        if (r._3 > 1.25 * best && retriesLeft > 0) {
           retriesLeft -= 1
-          val (f2, b2, t2, _) = gatedRun(p)
-          samples(p) ::= ((f2, b2, t2))
+          System.err.println(
+            f"[bench] p$p wall ${r._3}%.1fs > 1.25x best $best%.1fs; make-up run")
+          samples(p) ::= gatedRun(p)
         }
       }
     }

@@ -1076,10 +1076,14 @@ final class CrawlEngine(
     }
     // ONE action materializes the resolved cache AND returns the buckets
     // candidate hashes can live in (url_hash → host → bucket is
-    // deterministic); candidate ROWS never collect to the driver
-    val candBuckets: Set[Int] = timed("fetch_resolve") {
+    // deterministic); candidate ROWS never collect to the driver. ASYNC:
+    // nothing needs the bucket set until the re-key resolution, so the
+    // fetch chain overlaps the submission-aggregate job instead of
+    // preceding it (block-level cache locks keep the shared claims/
+    // resolved caches computed once across the concurrent consumers)
+    val candBucketsF: Future[Set[Int]] = Future(timed("fetch_resolve") {
       rekeyCandidates.agg(collect_set($"newBucket")).as[Seq[Int]].first().toSet
-    }
+    })
 
     // ---- S2 host_state update (fetch-attempted hosts only; reads the
     // resolved cache, so it overlaps the whole rest of the batch). Only
@@ -1205,6 +1209,7 @@ final class CrawlEngine(
 
     // ---- distributed re-key resolution (X7, frontier_repository.go:216-263)
     // runs on this thread while sub_buckets materializes concurrently ----
+    val candBuckets = Await.result(candBucketsF, Duration.Inf)
     val noRekey = candBuckets.isEmpty
     val (acceptedDf, rekeyBuckets, rekeyCleanup) =
       if (noRekey) (null: DataFrame, Set.empty[Int], () => ())
