@@ -76,7 +76,12 @@ object Bench {
       // and the keyed robots cache (both off in the headline run, like
       // the reference's defaults)
       val engine = new CrawlEngine(spark, store, pages, robots,
-        EngineConfig(numBuckets = 8, maxDepth = 2, maxBatches = maxBatches,
+        EngineConfig(
+          // 16 buckets, not cores: 4 task waves per write at p4 pack the
+          // skewed leaf sizes better than 8's two waves (measured 74.6 →
+          // 55.9 s p4 wall at 300k hosts); thousands on a real cluster
+          numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "16").toInt,
+          maxDepth = 2, maxBatches = maxBatches,
           useBloomPrefilter = sys.env.contains("SPARK_GRAFT_BENCH_BLOOM"),
           useKeyedRobotsState = sys.env.contains("SPARK_GRAFT_BENCH_KEYED_ROBOTS")))
       engine.warmCorpus() // corpus generation = the "web", not crawl work
