@@ -44,6 +44,11 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", adaptive)
       .config("spark.sql.autoBroadcastJoinThreshold",
         if (adaptive) "10485760" else "67108864")
+      // probe knob: every micro-batch embeds a fresh literal clock, so
+      // whole-stage codegen recompiles every stage every batch (Janino,
+      // driver-side, parallelism-independent); this measures that floor
+      .config("spark.sql.codegen.wholeStage",
+        (!sys.env.contains("SPARK_GRAFT_BENCH_NO_WSCG")).toString)
       .config("spark.local.dir", "/dev/shm/spark-local") // cluster-local-SSD analog
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

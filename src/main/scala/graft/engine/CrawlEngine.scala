@@ -801,46 +801,71 @@ final class CrawlEngine(
     * claim job at every politeness-parked batch boundary.
     */
   def step(): Boolean = {
-    // consume the prefetched aggregate when the previous batch kicked one
-    // off (it overlaps that batch's sink awaits + commit) — the fallback
-    // is the plain synchronous job
-    val minReady = minReadyPre match {
+    // consume the prefetched (min_ready → claims) chain when the previous
+    // batch kicked one off (it overlaps that batch's sink awaits, commit,
+    // and — for the claims cache — the start of this batch); fallback is
+    // the plain synchronous pair of jobs
+    val next = minReadyPre match {
       case Some(f) =>
         minReadyPre = None
         timed("min_ready") {
           scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
         }
-      case None => timed("min_ready") {
-        withReadiness().agg(min($"ready_at")).as[Option[Long]].first()
-      }
+      case None =>
+        timed("min_ready") {
+          withReadiness().agg(min($"ready_at")).as[Option[Long]].first()
+        }.map { t =>
+          val c = math.max(clock, t)
+          val (df, bF) = claimAt(c)
+          (c, df, bF)
+        }
     }
-    minReady match {
+    next match {
       case None => false // drained
-      case Some(t) =>
-        clock = math.max(clock, t)
+      case Some((c, claimsDf, bucketsF)) =>
         // non-empty is guaranteed: the min-ready row satisfies both claim
         // conjuncts at the advanced clock, so the batch always has >=1
         // claim (runBatch asserts when it awaits the bucket set)
-        val (claimsDf, bucketsF) = claimAt(clock)
+        clock = c
         batchId += 1
         runBatch(claimsDf, bucketsF)
         true
     }
   }
 
-  /** Prefetched next-batch min(ready_at): spawned once a batch's state
-    * writes (frontier + host buckets) are durable, so it overlaps the
-    * remaining sink awaits, the manifest commit and the driver's
-    * inter-batch bookkeeping. Any out-of-band state mutation must call
+  /** Prefetched next-batch (min(ready_at) → claims) chain: spawned once a
+    * batch's state writes (frontier + host buckets) are durable, so the
+    * readiness aggregate overlaps the remaining sink awaits + commit, and
+    * the claims argmin job runs warm in the background — the next batch's
+    * fetch chain then starts from an already-materializing claims cache
+    * instead of paying it cold. Any out-of-band state mutation must call
     * [[dropMinReadyPrefetch]] first.
     */
-  private var minReadyPre: Option[scala.concurrent.Future[Option[Long]]] = None
+  private var minReadyPre: Option[scala.concurrent.Future[
+    Option[(Long, Dataset[FrontierUrl], scala.concurrent.Future[Set[Int]])]]] = None
+
+  private def spawnPrefetch(): Unit = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val clockSnap = clock
+    minReadyPre = Some(scala.concurrent.Future {
+      withReadiness().agg(min($"ready_at")).as[Option[Long]].first().map { t =>
+        val c = math.max(clockSnap, t)
+        val (df, bF) = claimAt(c)
+        (c, df, bF)
+      }
+    })
+  }
 
   private def dropMinReadyPrefetch(): Unit = {
     // drain, don't abandon: an in-flight plan must not race the caller's
-    // bucketPaths/hostPaths mutation
-    minReadyPre.foreach(f =>
-      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
+    // bucketPaths/hostPaths mutation; a prefetched claims cache that will
+    // never be consumed is released
+    minReadyPre.foreach { f =>
+      scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+      f.value.foreach(_.toOption.foreach(_.foreach { case (_, df, _) =>
+        df.unpersist()
+      }))
+    }
     minReadyPre = None
   }
 
@@ -1337,8 +1362,7 @@ final class CrawlEngine(
     // aggregate prefetches here and overlaps the remaining awaits, the
     // manifest commit and the inter-batch driver bookkeeping.
     Await.result(hostF, Duration.Inf)
-    minReadyPre = Some(Future(
-      withReadiness().agg(min($"ready_at")).as[Option[Long]].first()))
+    spawnPrefetch()
     Await.result(claimLogF, Duration.Inf)
     Await.result(docsF, Duration.Inf)
     Await.result(linksF, Duration.Inf)
