@@ -209,11 +209,15 @@ object Bench {
     // retry — the measurement is made reproducible instead of arguing
     // with the noise.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    def gatedRun(p: Int): (Long, Long, Double) = {
+    // each sample carries the pre-run external-busy reading so the
+    // reported numbers come with their measurement conditions
+    def gatedRun(p: Int): (Long, Long, Double, Int) = {
       awaitQuiet()
-      crawlRun(p, benchCorpus, maxBatches)
+      val busy = runnableNow()
+      val r = crawlRun(p, benchCorpus, maxBatches)
+      (r._1, r._2, r._3, busy)
     }
-    val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double)]]()
+    val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double, Int)]]()
       .withDefaultValue(Nil)
     var retriesLeft = 2
     (1 to repeats).foreach { _ =>
@@ -231,8 +235,8 @@ object Bench {
         }
       }
     }
-    val (f8, b8, t8) = samples(pLo).minBy(_._3)
-    val (f32, b32, t32) = samples(pHi).minBy(_._3)
+    val (f8, b8, t8, busy8) = samples(pLo).minBy(_._3)
+    val (f32, b32, t32, busy32) = samples(pHi).minBy(_._3)
     val thr8 = f8 / t8
     val thr32 = f32 / t32
     val efficiency = (thr32 / thr8) / (pHi.toDouble / pLo)
@@ -244,7 +248,11 @@ object Bench {
       "crawl_urls_fetched" -> f8.toDouble,
       "crawl_batches" -> b8.toDouble,
       s"crawl_wall_p${pLo}_sec" -> t8,
-      s"crawl_wall_p${pHi}_sec" -> t32))
+      s"crawl_wall_p${pHi}_sec" -> t32,
+      // measurement conditions of the chosen (best-wall) runs: external
+      // runnable tasks observed immediately before each started
+      s"crawl_ext_busy_p$pLo" -> busy8.toDouble,
+      s"crawl_ext_busy_p$pHi" -> busy32.toDouble))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + t8 + t32
