@@ -363,7 +363,112 @@ object SparkEntry {
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"), col("first_seen"),
           col("versions"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // ---- F4 feed/sitemap ingest end-to-end through the REAL StAX
+    //      parsers + poll dispatch (feed/parser.go:26-60,
+    //      sitemap.go:49-130, poller.go:201-231): deterministic per-source
+    //      feed XML is built from the documents table (kind cycles
+    //      rss/atom/sitemap by source number), FeedIngest.poll parses it
+    //      and emits submissions at the origin priority (feed +2 = 7,
+    //      sitemap +1 = 6); the oracle replays the construction
+    //      arithmetic directly — a value mismatch means the parser or the
+    //      priority/origin dispatch broke ----
+    "q38_feed_ingest" -> ((s, d) => {
+      import s.implicits._
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val kindNum = srcnum % 3
+      val iurl = concat(lit("https://feed.example.org/"), col("source"),
+        lit("/p"), col("doc_id").cast("string"))
+      val item = when(kindNum === 0,
+          concat(lit("<item><link>"), iurl, lit("</link></item>")))
+        .when(kindNum === 1,
+          concat(lit("<entry><link href=\""), iurl, lit("\"/></entry>")))
+        .otherwise(concat(lit("<url><loc>"), iurl, lit("</loc></url>")))
+      t(s, d, "documents")
+        .select(col("source"), kindNum.as("kindnum"), col("doc_id"),
+          item.as("item"))
+        .groupBy(col("source"), col("kindnum"))
+        .agg(concat_ws("", expr(
+          "transform(sort_array(collect_list(struct(doc_id, item))), x -> x.item)"))
+          .as("body"))
+        .as[(String, Int, String)].flatMap { case (src, kn, body) =>
+          val kind = kn match {
+            case 0 => "rss"; case 1 => "atom"; case _ => "sitemap"
+          }
+          val xml = kind match {
+            case "rss"  => s"<rss><channel>$body</channel></rss>"
+            case "atom" => s"<feed>$body</feed>"
+            case _      => s"<urlset>$body</urlset>"
+          }
+          val feedUrl = s"https://feed.example.org/$src/feed.xml"
+          val (subs, _) = graft.engine.FeedIngest.poll(
+            graft.engine.FeedRow(src, feedUrl, xml, "", 200, kind),
+            graft.engine.FeedPollState(src, "", 0, 0, "", 0L),
+            graft.core.CrawlDefaults.VirtualEpochMs)
+          subs.map(sub => (sub.source_id, sub.url, sub.url_hash, sub.host,
+            sub.origin, sub.priority, sub.depth,
+            sub.parent_url.getOrElse("")))
+        }.toDF("source_id", "url", "url_hash", "host", "origin", "priority",
+          "depth", "parent_url")
+        .orderBy("source_id", "url")
+    }),
+
+    // ---- B3 content detection through the REAL detector code
+    //      (content_detector.go:184-229 heuristics, 311-374 precedence):
+    //      page URL / og:type / JSON-LD scripts are constructed
+    //      deterministically per doc so the DuckDB oracle can replay the
+    //      precedence (JSON-LD first-match → .pdf-beats-patterns URL
+    //      table → og:type=article → isContentUrl long-slug fallback)
+    //      as pure CASE arithmetic ----
+    "q39_content_detect" -> ((s, d) => {
+      import s.implicits._
+      val jtypes = Array("NewsArticle", "Article", "BlogPosting",
+        "PressRelease", "Event", "SpecialAnnouncement", "Report", "WebPage")
+      t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val path = id % 6 match {
+          case 0 => s"/press/item$id"
+          case 1 => s"/events/item$id"
+          case 2 => s"/reports/item$id"
+          case 3 => s"/jobs/item$id"
+          case 4 =>
+            if (id % 2 == 0) s"/misc/long-slug-item-doc-$id"
+            else s"/misc/item$id"
+          case _ => s"/events/brochure$id.pdf" // .pdf rule beats /events/
+        }
+        val pageUrl = s"https://site.example.com$path"
+        val og = if (id % 5 != 0) "article" else "website"
+        val scripts =
+          if (id % 4 == 0)
+            Seq("{\"@context\":\"https://schema.org\",\"@type\":\"" +
+              jtypes(((id / 4) % 8).toInt) + "\"}")
+          else Nil
+        val detected = UrlFilter.detectContentTypeFromHtml(scripts, og, pageUrl)
+        val (collect, ctype) = UrlFilter.isStructuredContentPage(scripts, og, pageUrl)
+        (id, detected, if (collect) 1 else 0, ctype)
+      }.toDF("doc_id", "detected", "collected", "collect_type")
+        .orderBy("doc_id")
+    }),
+
+    // ---- R5 links-by-domain page + total through the ENGINE repository
+    //      shape itself (DomainViews.linksPage — the same code
+    //      CrawlEngine.linksByDomain serves; links derived
+    //      deterministically from events as in q34;
+    //      domain_aggregate_repository.go:132-174) ----
+    "q40_links_page" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val links = ev.select(
+        concat(lit("d"), (col("user_id") % 50).cast("string"),
+          lit(".example.org")).as("domain"),
+        concat(lit("https://d"), (col("user_id") % 50).cast("string"),
+          lit(".example.org/p"), col("event_id").cast("string")).as("url"),
+        col("event_type").as("source_id"),
+        (col("user_id") % 7).cast("int").as("depth"),
+        col("ts").as("discovered_at"))
+      val (page, total) =
+        graft.engine.DomainViews.linksPage(links, "d7.example.org", 20, 5)
+      page.withColumn("total_count", lit(total))
+    })
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -830,6 +935,69 @@ object SparkEntry {
                               cand.vec_id ASC) AS rn
             FROM cand JOIN v q ON cand.qid = q.vec_id
                       JOIN v x ON cand.vec_id = x.vec_id)
-          WHERE rn <= 3 ORDER BY qid, rn"""
+          WHERE rn <= 3 ORDER BY qid, rn""",
+
+    // Replays q38's construction arithmetic directly: the item URLs are
+    // deterministic functions of (source, doc_id), so the expected
+    // submission set needs no XML parsing — the Spark side MUST go
+    // through the real StAX parsers to produce the same rows. Clean URLs
+    // are normalizer fixpoints, so url_hash = sha256(url) on both sides.
+    "q38_feed_ingest" ->
+      """SELECT source AS source_id,
+                'https://feed.example.org/' || source || '/p' || CAST(doc_id AS VARCHAR) AS url,
+                sha256('https://feed.example.org/' || source || '/p' || CAST(doc_id AS VARCHAR)) AS url_hash,
+                'feed.example.org' AS host,
+                CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 2
+                     THEN 'sitemap' ELSE 'feed' END AS origin,
+                CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 2
+                     THEN 6 ELSE 7 END AS INT) AS priority,
+                CAST(0 AS INT) AS depth,
+                'https://feed.example.org/' || source || '/feed.xml' AS parent_url
+         FROM documents ORDER BY source_id, url""",
+
+    // Mirrors the detector precedence as pure arithmetic: JSON-LD
+    // first-match (table order jsonldToDetected), URL patterns with the
+    // .pdf-report rule first, og:type=article fallback, then the
+    // isContentUrl long-slug heuristic for the collect gate.
+    "q39_content_detect" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               CASE (doc_id // 4) % 8
+                 WHEN 0 THEN 'article' WHEN 1 THEN 'article'
+                 WHEN 2 THEN 'blog_post' WHEN 3 THEN 'press_release'
+                 WHEN 4 THEN 'event' WHEN 5 THEN 'advisory'
+                 WHEN 6 THEN 'report' ELSE '' END
+             ELSE '' END AS jld,
+             CASE doc_id % 6 WHEN 0 THEN 'press_release' WHEN 1 THEN 'event'
+               WHEN 2 THEN 'report' WHEN 3 THEN 'job' WHEN 5 THEN 'report'
+               ELSE '' END AS urldet,
+             CASE WHEN doc_id % 5 <> 0 THEN 'article' ELSE '' END AS ogdet,
+             CASE WHEN doc_id % 6 = 4 AND doc_id % 2 = 0 THEN 1 ELSE 0 END AS slug
+           FROM documents),
+         det AS (
+           SELECT doc_id, slug,
+             CASE WHEN jld <> '' THEN jld
+                  WHEN urldet <> '' THEN urldet
+                  ELSE ogdet END AS detected
+           FROM b)
+         SELECT doc_id, detected,
+           CAST(CASE WHEN detected <> '' OR slug = 1 THEN 1 ELSE 0 END AS INT) AS collected,
+           CASE WHEN detected <> '' THEN detected
+                WHEN slug = 1 THEN 'article' ELSE '' END AS collect_type
+         FROM det ORDER BY doc_id""",
+
+    "q40_links_page" ->
+      """WITH links AS (
+           SELECT 'd' || (user_id % 50) || '.example.org' AS domain,
+                  'https://d' || (user_id % 50) || '.example.org/p' || CAST(event_id AS VARCHAR) AS url,
+                  event_type AS source_id,
+                  CAST(user_id % 7 AS INT) AS depth,
+                  ts AS discovered_at
+           FROM events),
+         f AS (SELECT * FROM links WHERE domain = 'd7.example.org')
+         SELECT domain, url, source_id, depth, discovered_at,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS total_count
+         FROM f ORDER BY discovered_at DESC, url ASC LIMIT 20 OFFSET 5"""
   )
 }

@@ -5,6 +5,7 @@ import graft.state.SnapshotStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.SeenFilter
+import scala.jdk.CollectionConverters._
 import scala.util.hashing.MurmurHash3
 
 final case class EngineConfig(
@@ -47,7 +48,24 @@ final case class EngineConfig(
       * never change mid-drain (CrawlParitySpec asserts both).
       */
     useKeyedRobotsState: Boolean = false,
-    robotsTtlMs: Long = 24L * 3600L * 1000L
+    robotsTtlMs: Long = 24L * 3600L * 1000L,
+    /** Fetch-lookup broadcast gate (sandbox HTTP stand-in): corpora within
+      * BOTH bounds broadcast once and probe per claim; anything larger
+      * falls back to the cached co-partitioned join. The byte bound is
+      * the real guard — row counts alone let a heavy-HTML corpus OOM the
+      * driver; bytes come from Catalyst plan stats (parquet footers for
+      * file scans).
+      */
+    fetchBroadcastMaxRows: Long = 2000000L,
+    fetchBroadcastMaxBytes: Long = 4L << 30,
+    /** Settled-segment chain cap per bucket: a batch APPENDS one settled
+      * segment per touched bucket (the append-only frontier — never an
+      * O(frontier) rewrite); when a bucket's chain exceeds this, the
+      * SMALLEST segments merge into one (size-tiered, so a row is
+      * rewritten O(log batches) times total, and read fan-in stays
+      * bounded on long drains).
+      */
+    maxSettledSegments: Int = 8
 )
 
 /** Engine-internal rows (kept flat for stable encoders). */
@@ -199,13 +217,15 @@ final class CrawlEngine(
     * join (a real 100 TB deployment replaces this stage with its fetch
     * service entirely).
     */
-  private val fetchBroadcastMaxRows = 2000000L
   private lazy val pagesLookupBc
-      : Option[org.apache.spark.broadcast.Broadcast[Map[String, PageRow]]] =
-    if (pagesCached.count() <= fetchBroadcastMaxRows)
+      : Option[org.apache.spark.broadcast.Broadcast[Map[String, PageRow]]] = {
+    val estBytes = pages.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (pagesCached.count() <= cfg.fetchBroadcastMaxRows &&
+        estBytes <= cfg.fetchBroadcastMaxBytes)
       Some(spark.sparkContext.broadcast(
         pagesCached.collect().map(p => p.url_hash -> p).toMap))
     else None
+  }
 
   /** Materialize the corpus cache + redirect topology up front (bench: the
     * corpus is the test stand-in for HTTP I/O, not engine work to measure).
@@ -219,8 +239,23 @@ final class CrawlEngine(
 
   var clock: Long = CrawlDefaults.VirtualEpochMs
   var batchId: Long = 0L
-  /** Frontier leaf manifest: (bucket, isPending) -> parquet leaf dir. */
-  private var bucketPaths: Map[(Int, Boolean), String] = Map.empty
+  /** Pending-leaf manifest: bucket -> the ONE pending parquet leaf.
+    * Pending is the mutating slice; a batch rewrites the pending leaves
+    * of its delta buckets (O(pending churn), never O(frontier)).
+    */
+  private var pendingPaths: Map[Int, String] = Map.empty
+  /** Settled-segment manifest: bucket -> APPEND-ONLY segment chain.
+    * Settled (fetched/dead) rows are immutable after their settling batch
+    * (re-keys resolve in-batch), so a batch appends ONE delta segment per
+    * touched bucket and never rewrites what settled before — the
+    * reference's single-row UPDATE cost model
+    * (database/frontier_repository.go:195-211 touches one row, never the
+    * table), and the Iceberg data-file-append + manifest-rewrite shape.
+    * Chains longer than cfg.maxSettledSegments compact size-tiered; only
+    * manual ops (which may mutate settled rows) and compaction replace
+    * segments.
+    */
+  private var settledSegs: Map[Int, Vector[String]] = Map.empty
   /** Host-state leaf manifest: bucket -> parquet leaf dir. Like the
     * frontier, a batch rewrites ONLY the buckets whose hosts it touched;
     * the rest carry forward — the delta-bucket form of the reference's
@@ -291,25 +326,37 @@ final class CrawlEngine(
           var f = existingPath
             .map(p => CrawlEngine.loadFilterCached(p, cacheCap).copyFilter())
             .getOrElse(SeenFilter.create(kind, expected, fpp))
-          // buffer every row hash: a mid-update overflow rebuilds the
-          // bucket's filter from the full row set in this same task
-          val all = scala.collection.mutable.ArrayBuffer.empty[String]
           var degraded = false
           var touched = existingPath.isEmpty
           it.foreach { case (_, h, tag) =>
-            all += h
             if (!degraded && (tag == "i" || tag == "rf" || tag == "rf_d")) {
               touched = true
               if (!f.put(h)) degraded = true
             }
           }
-          if (degraded)
-            f = SeenFilter.build(SeenFilter.KindBloom, expected * 4, fpp,
-              all.iterator)
-          if (touched || degraded) (b, CrawlEngine.writeFilterFile(dir, b, f))
-          else (b, existingPath.get)
+          // an overflowed cuckoo needs the bloom fallback built over the
+          // bucket's FULL hash set, which the delta leaves no longer
+          // carry (append-only settled) — signal the driver for a
+          // dedicated full-bucket rebuild pass instead of persisting a
+          // filter with false negatives
+          if (degraded) (b, "", true)
+          else if (touched) (b, CrawlEngine.writeFilterFile(dir, b, f), false)
+          else (b, existingPath.get, false)
         }.collect()
-      bloomPaths ++= updated
+      bloomPaths ++= updated.collect { case (b, p, false) => b -> p }
+      val degraded = updated.collect { case (b, _, true) => b }.toSet
+      if (degraded.nonEmpty) {
+        // rare (capacity-sized): the bloom fallback reads everything live
+        // in the over-full buckets — pending leaves + settled chain — so
+        // the rebuilt filter stays a strict superset of the seen set
+        val rebuilt = bucketSlice(degraded)
+          .groupByKey(_.bucket).mapGroups { (b, it) =>
+            (b, CrawlEngine.writeFilterFile(dir, b,
+              SeenFilter.build(SeenFilter.KindBloom, expected * 4, fpp,
+                it.map(_.url_hash))))
+          }.collect()
+        bloomPaths ++= rebuilt
+      }
     }
 
   // ----------------------------------------------------------------- state IO
@@ -335,22 +382,42 @@ final class CrawlEngine(
     if (paths.isEmpty) spark.emptyDataset[FrontierUrl]
     else spark.read.schema(frontierSchema).parquet(paths.sorted: _*).as[FrontierUrl]
 
-  /** Full frontier: ONE multi-path scan over every manifest leaf. Data
-    * files carry all columns (bucket included) — nothing is recomputed.
+  /** Full frontier: ONE multi-path scan over every manifest leaf (pending
+    * leaves + every settled segment). Data files carry all columns
+    * (bucket included) — nothing is recomputed.
     */
   def frontier(): Dataset[FrontierUrl] =
-    readSlice(bucketPaths.values.toSeq)
+    readSlice(pendingPaths.values.toSeq ++ settledSegs.values.flatten)
 
   /** The claimable slice: pending leaves only (S3 — the partial-index
     * read). At 10^10 rows this is the difference between scanning the
     * eligible slice and scanning the world.
     */
   def pendingSlice(): Dataset[FrontierUrl] =
-    readSlice(bucketPaths.collect { case ((_, true), p) => p }.toSeq)
+    readSlice(pendingPaths.values.toSeq)
 
-  /** Both slices of the given buckets only (delta reads, rekey probes). */
+  /** Pending leaves of the given buckets only (the delta keep-read). */
+  private def pendingSliceOf(buckets: Set[Int]): Dataset[FrontierUrl] =
+    readSlice(pendingPaths.collect { case (b, p) if buckets(b) => p }.toSeq)
+
+  /** Settled segments of the given buckets only (the read-only dedup
+    * probe; column pruning reaches these scans, so the per-batch cost is
+    * a 2-column stream, never a rewrite).
+    */
+  private def settledSliceOf(buckets: Set[Int]): Dataset[FrontierUrl] =
+    readSlice(settledSegs.collect { case (b, ps) if buckets(b) => ps }
+      .flatten.toSeq)
+
+  /** Diagnostic: per-bucket settled-segment chain length (compaction
+    * observability for tests/bench traces).
+    */
+  private[engine] def settledSegmentCounts(): Map[Int, Int] =
+    settledSegs.map { case (b, v) => b -> v.size }
+
+  /** Both slices of the given buckets only (rekey probes, manual ops). */
   def bucketSlice(buckets: Set[Int]): Dataset[FrontierUrl] =
-    readSlice(bucketPaths.collect { case ((b, _), p) if buckets(b) => p }.toSeq)
+    readSlice(pendingPaths.collect { case (b, p) if buckets(b) => p }.toSeq ++
+      settledSegs.collect { case (b, ps) if buckets(b) => ps }.flatten)
 
   private lazy val hostSchema =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HostState]().schema
@@ -440,15 +507,11 @@ final class CrawlEngine(
     * for determinism (the reference orders by discovered_at alone).
     */
   def linksByDomain(domain: String, limit: Int = 50, offset: Int = 0)
-      : (DataFrame, Long) = {
-    // one evaluation of the multi-version scan + latest-wins groupBy: the
-    // filtered view materializes once (localCheckpoint) and both the page
-    // and the total count read the materialized result
-    val of = discoveredLinks().filter($"domain" === domain).localCheckpoint()
-    (of.orderBy(desc("discovered_at"), asc("url"))
-       .offset(math.max(offset, 0)).limit(math.max(limit, 0)),
-      of.count())
-  }
+      : (DataFrame, Long) =
+    // one evaluation of the multi-version scan + latest-wins groupBy;
+    // the page/count shape lives in DomainViews.linksPage (oracle-checked
+    // directly by q40)
+    DomainViews.linksPage(discoveredLinks(), domain, limit, offset)
 
   /** R3: per-domain aggregates over discovered links
     * (domain_aggregate_repository.go:176-243). Logic in
@@ -558,7 +621,8 @@ final class CrawlEngine(
     * buckets are rewritten. Intended for dashboard-sized hash sets.
     */
   def resetForRetry(urlHashes: Set[String]): Long = {
-    if (urlHashes.isEmpty || bucketPaths.isEmpty) return 0L
+    if (urlHashes.isEmpty || (pendingPaths.isEmpty && settledSegs.isEmpty))
+      return 0L
     val hit = $"url_hash".isin(urlHashes.toSeq: _*) &&
       $"status" === FrontierStatus.Dead
     val now = clock
@@ -578,7 +642,8 @@ final class CrawlEngine(
     * through the exact join and re-inserts correctly.
     */
   def deleteUrls(urlHashes: Set[String]): Long = {
-    if (urlHashes.isEmpty || bucketPaths.isEmpty) return 0L
+    if (urlHashes.isEmpty || (pendingPaths.isEmpty && settledSegs.isEmpty))
+      return 0L
     val hit = $"url_hash".isin(urlHashes.toSeq: _*)
     manualRewrite(hit, df => df.filter(!$"hit"), pairs =>
       // the cuckoo seen-filter supports true deletion — the prefilter
@@ -613,7 +678,11 @@ final class CrawlEngine(
     batchId += 1
     val f2 = transform(bucketSlice(affBuckets).toDF().withColumn("hit", hit))
       .drop("hit").withColumn("mtag", lit("k"))
-    writeBuckets(f2, affBuckets, batchId, repartitionFirst = true)
+    // manual ops may MUTATE settled rows (reset revives dead → pending,
+    // delete removes), so the affected buckets' chains are replaced by
+    // one freshly compacted segment — the one sanctioned non-append write
+    writeBuckets(f2, affBuckets, batchId, repartitionFirst = true,
+      replaceSettled = true)
     onAffected(affected)
     commit()
     affected.length.toLong
@@ -626,11 +695,19 @@ final class CrawlEngine(
     else spark.read.parquet(dirs: _*)
   }
 
-  /** Persist the delta buckets' rows as (bucket, pending) parquet leaves.
-    * The caller hands data already partitioned bucket-wise (the merge's
-    * single shuffle); `repartitionFirst` is for cold paths (seed) only.
-    * Leaves that end the batch empty are DROPPED from the manifest — never
-    * pointed at a missing dir, never carried stale.
+  /** Persist the delta buckets' rows as (bucket, pending) parquet leaves
+    * in ONE partitioned write. The caller hands data already partitioned
+    * bucket-wise (the merge's single shuffle); `repartitionFirst` is for
+    * cold paths (seed, manual ops) only.
+    *
+    * Manifest semantics per delta bucket:
+    *   - the pend_p=true leaf REPLACES the bucket's pending leaf (absent
+    *     leaf = pending drained — the entry drops, never stale);
+    *   - the pend_p=false leaf is this batch's NEWLY settled rows and
+    *     APPENDS to the bucket's segment chain — the frontier write is
+    *     O(pending churn + rows settled this batch), never O(frontier).
+    *     `replaceSettled` (manual ops, which may mutate settled rows)
+    *     swaps the whole chain for the leaf instead.
     *
     * The input carries one extra column, `mtag` (insert|dedup|keep), which
     * is WRITTEN INTO the delta parquet: per-bucket lineage is then a
@@ -638,10 +715,14 @@ final class CrawlEngine(
     * of a second evaluation of the merge. State readers are unaffected —
     * every frontier read uses the explicit row schema, which simply never
     * selects the column.
+    *
+    * Returns the leaf dirs actually written (the lineage/seen-filter
+    * delta readback set).
     */
   private def writeBuckets(df: DataFrame, deltaBuckets: Set[Int],
-      version: Long, repartitionFirst: Boolean): Unit = {
-    if (deltaBuckets.isEmpty) return
+      version: Long, repartitionFirst: Boolean,
+      replaceSettled: Boolean = false): Seq[String] = {
+    if (deltaBuckets.isEmpty) return Nil
     val path = store.dataPath(s"frontier_v$version")
     val base = df.filter($"bucket".isin(deltaBuckets.toSeq: _*))
     val part =
@@ -654,14 +735,64 @@ final class CrawlEngine(
       // row groups of backoff rows scheduled in the future
       .sortWithinPartitions($"bucket_p", $"pend_p", $"next_fetch_at")
       .write.mode("overwrite").partitionBy("bucket_p", "pend_p").parquet(path)
-    val updated = for {
-      b <- deltaBuckets.toSeq
-      pend <- Seq(true, false)
-      leaf = s"$path/bucket_p=$b/pend_p=$pend"
-      if java.nio.file.Files.exists(java.nio.file.Paths.get(leaf))
-    } yield (b, pend) -> leaf
-    bucketPaths = (bucketPaths --
-      deltaBuckets.flatMap(b => Seq((b, true), (b, false)))) ++ updated
+    val written = Seq.newBuilder[String]
+    def exists(p: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    deltaBuckets.toSeq.sorted.foreach { b =>
+      val pLeaf = s"$path/bucket_p=$b/pend_p=true"
+      val sLeaf = s"$path/bucket_p=$b/pend_p=false"
+      if (exists(pLeaf)) { pendingPaths += b -> pLeaf; written += pLeaf }
+      else pendingPaths -= b
+      val sEx = exists(sLeaf)
+      if (sEx) written += sLeaf
+      if (replaceSettled) {
+        if (sEx) settledSegs += b -> Vector(sLeaf) else settledSegs -= b
+      } else if (sEx) {
+        settledSegs += b -> (settledSegs.getOrElse(b, Vector.empty) :+ sLeaf)
+      }
+    }
+    written.result()
+  }
+
+  /** Size-tiered settled-segment compaction: every bucket whose chain
+    * outgrew cfg.maxSettledSegments merges its SMALLEST segments into one
+    * (down to ~half the cap), in ONE partitioned write covering all
+    * over-limit buckets. Merging smallest-first means a settled row is
+    * rewritten O(log #batches) times over a drain's lifetime while read
+    * fan-in stays bounded — the LSM/Iceberg rewrite-data-files shape.
+    * Old segment files stay on disk until vacuum (older manifests may
+    * still reference them).
+    */
+  private def compactSettled(version: Long): Unit = {
+    val over = settledSegs.filter(_._2.size > cfg.maxSettledSegments)
+    if (over.isEmpty) return
+    timed("compact_settled") {
+      val target = math.max(2, cfg.maxSettledSegments / 2)
+      def bytesOf(dir: String): Long = {
+        val d = java.nio.file.Paths.get(dir)
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.map(f => java.nio.file.Files.size(f)).sum
+        finally s.close()
+      }
+      val choice: Map[Int, Vector[String]] = over.map { case (b, segs) =>
+        b -> segs.sortBy(bytesOf).take(segs.size - target + 1)
+      }
+      val path = store.dataPath(s"frontier_v${version}c")
+      spark.read.schema(frontierSchema)
+        .parquet(choice.values.flatten.toSeq.sorted: _*)
+        .withColumn("bucket_p", $"bucket")
+        .repartition(choice.size, $"bucket_p")
+        .sortWithinPartitions($"bucket_p", $"url_hash")
+        .write.mode("overwrite").partitionBy("bucket_p").parquet(path)
+      choice.foreach { case (b, merged) =>
+        val leaf = s"$path/bucket_p=$b"
+        val rest = settledSegs(b).filterNot(merged.toSet)
+        settledSegs += b -> (
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(leaf)))
+            rest :+ leaf
+          else rest)
+      }
+    }
   }
 
   // ----------------------------------------------------------------- seeding
@@ -688,7 +819,12 @@ final class CrawlEngine(
         UrlNormalizer.extractHost(sd.url)) match {
         case (Right(u), Right(h), Right(host)) =>
           // li is the in-batch tiebreak; Int caps the seed count at 2^31
-          // per seed() call, far above the driver-OOM point this fixes
+          // per seed() call, far above the driver-OOM point this fixes —
+          // ENFORCED, not assumed: past the cap the narrowed tiebreak
+          // would silently wrap negative and corrupt submission order
+          require(i <= Int.MaxValue,
+            s"seed index $i exceeds the 2^31-1 per-call submission-order " +
+              "cap; split the seed set across seed() calls")
           Some(SubRow(0, 0L, "", i.toInt, Submission(u, h, host, sd.source_id,
             FrontierOrigin.Manual, None, 0, Priorities.Default, now)))
         case _ => None
@@ -697,7 +833,7 @@ final class CrawlEngine(
     val subAgg = aggregateSubmissions(subs).persist()
     val delta = subAgg.select("bucket").distinct().as[Int].collect().toSet
     val merged = mergeSubmissions(spark.emptyDataset[(FrontierUrl, String)],
-      subAgg, spark.emptyDataset[(Int, String)], math.max(1, delta.size))
+      subAgg, spark.emptyDataset[(Int, String)], None, math.max(1, delta.size))
     writeBuckets(merged.select($"_1.*", $"_2".as("mtag")), delta, 0L,
       repartitionFirst = false)
     subAgg.unpersist()
@@ -729,9 +865,13 @@ final class CrawlEngine(
 
   private def commit(): Unit =
     store.commit(store.Manifest(batchId, clock,
-      bucketPaths.map { case ((b, pend), p) =>
-        s"$b/${if (pend) "p" else "s"}" -> p
-      },
+      // pending leaf = "<b>/p"; settled chain = "<b>/s0".."<b>/sN" in
+      // chain order (legacy single-leaf "<b>/s" reads back as a
+      // one-segment chain)
+      pendingPaths.map { case (b, p) => s"$b/p" -> p } ++
+        settledSegs.flatMap { case (b, ps) =>
+          ps.zipWithIndex.map { case (p, i) => s"$b/s$i" -> p }
+        },
       hostPaths.map { case (b, p) => s"host/$b" -> p } ++
         bloomPaths.map { case (b, p) => s"bloom/$b" -> p } ++
         (if (sourcesPath.isEmpty) Map.empty
@@ -754,9 +894,17 @@ final class CrawlEngine(
               "the source crawl or migrate the snapshot offline")
         batchId = m.batchId
         clock = m.clock
-        bucketPaths = m.buckets.map { case (k, v) =>
-          val Array(b, ps) = k.split("/", 2)
-          (b.toInt, ps == "p") -> v
+        pendingPaths = m.buckets.collect {
+          case (k, v) if k.endsWith("/p") => k.stripSuffix("/p").toInt -> v
+        }
+        settledSegs = m.buckets.toSeq.collect {
+          case (k, v) if !k.endsWith("/p") =>
+            val Array(b, ps) = k.split("/", 2)
+            // legacy pre-segment snapshots stored one "<b>/s" leaf: a
+            // valid one-segment chain, resumed as such
+            (b.toInt, if (ps == "s") 0 else ps.stripPrefix("s").toInt, v)
+        }.groupBy(_._1).map { case (b, xs) =>
+          b -> xs.sortBy(_._2).map(_._3).toVector
         }
         hostPaths = m.tables.collect {
           case (k, v) if k.startsWith("host/") => k.stripPrefix("host/").toInt -> v
@@ -858,11 +1006,16 @@ final class CrawlEngine(
 
   private def dropMinReadyPrefetch(): Unit = {
     // drain, don't abandon: an in-flight plan must not race the caller's
-    // bucketPaths/hostPaths mutation; a prefetched claims cache that will
-    // never be consumed is released
+    // frontier/host manifest mutation. BOTH futures drain — the outer
+    // min_ready chain AND the nested touched-bucket collection claimAt
+    // spawned (a Spark job over pre-mutation leaves that must not still
+    // be running, against an unpersisting cache, while the caller
+    // rewrites buckets). Only then is the orphaned claims cache released.
     minReadyPre.foreach { f =>
       scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
-      f.value.foreach(_.toOption.foreach(_.foreach { case (_, df, _) =>
+      f.value.foreach(_.toOption.foreach(_.foreach { case (_, df, bucketsF) =>
+        scala.concurrent.Await.ready(bucketsF,
+          scala.concurrent.duration.Duration.Inf)
         df.unpersist()
       }))
     }
@@ -1292,38 +1445,60 @@ final class CrawlEngine(
     val deltaBuckets = claimsBuckets ++ subBuckets ++ rekeyBuckets
 
     // ---- apply outcomes then submissions (the batch linearization) ----
-    // Claim application: broadcast anti-join (claims ≤ 1/host/batch), so
-    // the frontier side streams in place; only the DELTA buckets are read.
-    val f0d = bucketSlice(deltaBuckets)
+    // Claim application: broadcast anti-join (claims ≤ 1/host/batch) over
+    // the delta buckets' PENDING leaves only — settled rows are immutable,
+    // so they are neither read as keeps nor rewritten (append-only
+    // frontier: the write below is O(churn), never O(frontier)).
+    val f0p = pendingSliceOf(deltaBuckets)
     // NB: a using-column join moves the key column first; re-select the
     // canonical field order, then pack (row, "k") WITHOUT a typed lambda
     // (select-struct keeps the carried bulk inside Tungsten).
-    val keeps = f0d.toDF()
+    val keeps = f0p.toDF()
       .join(broadcast(claims.toDF().select("url_hash")), Seq("url_hash"), "left_anti")
       .select(struct(fields.map(col): _*).as("_1"), lit("k").as("_2"))
       .as[(FrontierUrl, String)]
     val f1 = keeps.union(updates)
+
+    // Settled-dedup probe: a submission whose hash settled in an EARLIER
+    // batch must dedup without the settled row ever rewriting. The probe
+    // is a read-only, column-pruned (bucket, url_hash) stream of the
+    // submission buckets' settled segments against the broadcast
+    // submission hash set — output ≤ |subAgg| rows, repartitioned to the
+    // merge's bucket alignment so the anti-join inside mergeSubmissions
+    // adds no extra shuffle of submission data. (Hashes that settle THIS
+    // batch dedup inside the merge itself — their rows ride `updates`
+    // through the full-outer join.) Persisted: the merge filters with it
+    // and the lineage readback counts it.
+    val settledDup =
+      if (subBuckets.isEmpty) None
+      else Some(settledSliceOf(subBuckets).toDF()
+        .select($"bucket", $"url_hash")
+        .join(broadcast(subAgg.toDF().select($"url_hash")), Seq("url_hash"),
+          "left_semi")
+        .repartition(math.max(1, deltaBuckets.size), $"bucket")
+        .persist())
 
     // Accepted re-key hashes ride into the merge as explicit maybe-seen
     // marks (a broadcast join, not driver state): a same-batch submission
     // matching a just-re-keyed final URL must take the exact-join path or
     // it would insert a duplicate row beside the re-keyed one.
     val accNew: Dataset[(Int, String)] = accDs.map(a => (a.newBucket, a.newHash))
-    val merged = mergeSubmissions(f1, subAgg, accNew, math.max(1, deltaBuckets.size))
+    val merged = mergeSubmissions(f1, subAgg, accNew, settledDup,
+      math.max(1, deltaBuckets.size))
 
     // ---- the batch's ONE pass over delta data: merge → write ----
-    timed("frontier_write") {
+    val deltaLeaves = timed("frontier_write") {
       writeBuckets(merged.select($"_1.*", $"_2".as("mtag")), deltaBuckets,
         bid, repartitionFirst = false)
     }
+    // bounded read fan-in on long drains: over-limit chains merge their
+    // smallest segments (rare; amortized O(log) rewrites per settled row)
+    compactSettled(bid)
 
     // ---- per-bucket lineage (north rule): a two-column readback of the
     // mtag column persisted in the just-written (page-cached) delta files
     // — the merge is never evaluated twice, and the whole block runs off
     // the critical path (awaited before the snapshot commit) ----
-    val deltaLeaves = bucketPaths.collect {
-      case ((b, _), p) if deltaBuckets(b) && p.contains(s"_v$bid/") => p
-    }.toSeq.sorted
     val lineageF = Future(timed("lineage") {
       val tagCounts: Map[(Int, String), Long] =
         if (deltaLeaves.isEmpty) Map.empty
@@ -1337,9 +1512,20 @@ final class CrawlEngine(
           .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
       // the tags carry fetch + re-key + dedup provenance, so the whole
       // lineage (incl. urls_fetched) is ONE 2-column readback — no
-      // second evaluation of the update pipeline
+      // second evaluation of the update pipeline. Dedups against rows
+      // settled in EARLIER batches no longer appear in the delta files
+      // (the settled row never rewrites), so their per-bucket counts come
+      // from the already-materialized settledDup cache instead.
       val insertedBy = sumTags(_ == "i")
-      val dedupBy = sumTags(_.endsWith("_d"))
+      val settledDupBy: Map[Int, Long] = settledDup match {
+        case None => Map.empty
+        case Some(sd) => sd.groupBy($"bucket").count()
+          .as[(Int, Long)].collect().toMap
+      }
+      val dedupBy0 = sumTags(_.endsWith("_d"))
+      val dedupBy = (dedupBy0.keySet ++ settledDupBy.keySet).map { b =>
+        b -> (dedupBy0.getOrElse(b, 0L) + settledDupBy.getOrElse(b, 0L))
+      }.toMap
       val fetchedBy = sumTags(t => t == "f" || t == "f_d" || t == "rf" || t == "rf_d")
       val lineageRows = (fetchedBy.keySet ++ insertedBy.keySet ++ dedupBy.keySet)
         .toSeq.sorted.map { b =>
@@ -1371,6 +1557,7 @@ final class CrawlEngine(
     commit()
     rekeyCleanup()
     robotsEffDs.foreach(_.unpersist())
+    settledDup.foreach(_.unpersist())
     claims.unpersist()
     resolved.unpersist()
     subAgg.unpersist()
@@ -1549,6 +1736,7 @@ final class CrawlEngine(
       f1: Dataset[(FrontierUrl, String)],
       subAgg: Dataset[SubFirst],
       accNew: Dataset[(Int, String)], // (bucket, url_hash) of accepted re-keys
+      settledDup: Option[DataFrame], // (bucket, url_hash) settled earlier
       nParts: Int
   ): Dataset[(FrontierUrl, String)] = {
     val now = clock
@@ -1557,7 +1745,18 @@ final class CrawlEngine(
         s.parent_url, s.depth, s.priority, FrontierStatus.Pending,
         s.next_fetch_at, None, 0, None, None, None, 0, None,
         s.next_fetch_at, now, now, s.bucket)
-    val subR = subAgg.repartition(nParts, $"bucket")
+    val subR0 = subAgg.repartition(nParts, $"bucket")
+    // drop submissions whose hash settled in an earlier batch: the settled
+    // row is out of the merge (append-only frontier), so without this they
+    // would full-outer-miss and re-insert a duplicate beside it. Both
+    // sides share HashPartitioning(bucket, nParts) — no new shuffle. The
+    // dedup still COUNTS (lineage reads the settledDup cache directly).
+    val subR = settledDup match {
+      case None => subR0
+      case Some(sd) =>
+        subR0.toDF().join(sd, Seq("bucket", "url_hash"), "left_anti")
+          .as[SubFirst]
+    }
     // seen-filter split: definitely-new submissions bypass the dedup join
     // — its probe side shrinks to the maybe-seen subset. Filters are
     // loaded ON EXECUTORS from the per-bucket sidecar files (the driver

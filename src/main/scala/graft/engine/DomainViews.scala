@@ -61,4 +61,19 @@ object DomainViews {
       .orderBy(desc("link_count"), asc("domain"))
       .offset(math.max(offset, 0)).limit(math.max(limit, 0))
   }
+
+  /** R5 one-domain link page + total count
+    * (domain_aggregate_repository.go:132-174): the filtered view
+    * materializes ONCE (localCheckpoint) and serves both the page read
+    * and the count — the repository's two statements, one scan. Ordering
+    * is discovered_at DESC with a url ASC tie-break for determinism (the
+    * reference orders by discovered_at alone).
+    */
+  def linksPage(links: DataFrame, domain: String, limit: Int, offset: Int)
+      : (DataFrame, Long) = {
+    val of = links.filter(col("domain") === domain).localCheckpoint()
+    (of.orderBy(desc("discovered_at"), asc("url"))
+       .offset(math.max(offset, 0)).limit(math.max(limit, 0)),
+      of.count())
+  }
 }

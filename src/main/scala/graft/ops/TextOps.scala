@@ -265,7 +265,10 @@ object TextOps {
     // a sub-ulp cross-engine float difference must never flip a list
     // assignment away from the oracle's. Strict > over the cid-ascending
     // scan resolves ties to the LOWEST cid — identical to the oracle's
-    // (ccos DESC, cid ASC) ranking.
+    // (ccos DESC, cid ASC) ranking; that covers the zero-norm case too,
+    // since cosineSql yields DuckDB's exact -1.0 convention there (all
+    // centroids tie at -1 > the -2 seed ⇒ lowest cid, never a vanished
+    // cid -1 row).
     val cbDf = cents.groupBy()
       .agg(expr("sort_array(collect_list(struct(cid, cv)))").as("cb"))
     val assignCid = expr(
@@ -333,9 +336,17 @@ object TextOps {
     * collide with enclosing ones there.
     */
   private def cosineSql(l: String, r: String): String =
-    s"""aggregate(zip_with($l, $r, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)
-        / (sqrt(aggregate($l, cast(0.0 as double), (acc, v) -> acc + v * v))
-         * sqrt(aggregate($r, cast(0.0 as double), (acc, v) -> acc + v * v)))"""
+    // try_divide + coalesce(-1): a zero-norm side must not throw under
+    // ANSI mode (plain `/` raises DIVIDE_BY_ZERO in Spark 4) and must
+    // yield EXACTLY what DuckDB's list_cosine_similarity yields for a
+    // zero vector (-1.0, measured) so every oracle mirror stays
+    // value-identical — including the IVF assignment, where all-(-1)
+    // ties resolve to the lowest cid on both engines.
+    s"""coalesce(try_divide(
+        aggregate(zip_with($l, $r, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v),
+        sqrt(aggregate($l, cast(0.0 as double), (acc, v) -> acc + v * v))
+         * sqrt(aggregate($r, cast(0.0 as double), (acc, v) -> acc + v * v))),
+        cast(-1.0 as double))"""
 
   private def cosineExpr(l: String, r: String): Column = expr(cosineSql(l, r))
 

@@ -486,6 +486,64 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(byPath("/news/a").status == FrontierStatus.Fetched)
   }
 
+  test("append-only settled: long drain compacts chains, parity + resume + vacuum") {
+    val p = CorpusParams(numHosts = 5, pagesPerHost = 10, skewHosts = 1,
+      skewFactor = 3, outdegree = 3)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    // tiny segment cap so the long drain compacts repeatedly
+    val cfg = EngineConfig(numBuckets = 4, maxDepth = 12,
+      maxSettledSegments = 2)
+    val store = newStore()
+    val e = mkEngine(pages, robots, cfg, store)
+    e.seed(seeds)
+    e.runDrain()
+    val o = new CrawlOracle(pages.map(pp => pp.url_hash -> pp).toMap,
+      robots.map(r => r.host -> r).toMap, cfg.userAgent, cfg.maxRetries,
+      cfg.maxRedirects, cfg.maxDepth)
+    o.submitSeeds(seeds)
+    o.runDrain()
+    compareAll(e, o)
+    assert(o.claimLog.map(_.batch_id).max >= 8, "drain long enough to compact")
+    val chains = e.settledSegmentCounts()
+    assert(chains.nonEmpty && chains.values.max <= cfg.maxSettledSegments,
+      s"chains compacted under the cap: $chains")
+
+    // vacuum old snapshots: live segments (old versions carried forward by
+    // the kept manifests) must survive; the frontier must read identically
+    val stateBefore = engineState(e)
+    assert(store.vacuum(keepLast = 2) > 0, "vacuum removed dead versions")
+    assert(engineState(e) == stateBefore, "post-vacuum frontier intact")
+
+    // resume across segment chains: interrupt mid-drain, resume, finish
+    val store2 = newStore()
+    val e2 = mkEngine(pages, robots, cfg, store2)
+    e2.seed(seeds)
+    (1 to 6).foreach(_ => e2.step())
+    val e3 = mkEngine(pages, robots, cfg, store2)
+    assert(e3.resume(), "resume finds the snapshot")
+    e3.runDrain()
+    assert(engineClaims(e3) == engineClaims(e), "resumed claim log")
+    assert(engineState(e3) == stateBefore, "resumed frontier state")
+  }
+
+  test("fetch-broadcast byte budget: over-bound corpus joins instead, parity intact") {
+    val p = CorpusParams(numHosts = 4, pagesPerHost = 6, skewHosts = 1,
+      skewFactor = 2, outdegree = 3)
+    val pages = Corpus.allPages(p)
+    val robots = Corpus.robots(p)
+    val seeds = Corpus.seeds(p)
+    val cfg = EngineConfig(numBuckets = 8, maxDepth = 8)
+    val (eBc, _) = runBoth(pages, robots, seeds, cfg)
+    // zero byte budget forces the cached co-partitioned join fallback
+    val eJoin = mkEngine(pages, robots, cfg.copy(fetchBroadcastMaxBytes = 0L))
+    eJoin.seed(seeds)
+    eJoin.runDrain()
+    assert(engineClaims(eJoin) == engineClaims(eBc), "claim logs")
+    assert(engineState(eJoin) == engineState(eBc), "frontier state")
+  }
+
   test("lineage: per-partition metrics recorded every batch") {
     val (pages, robots, seeds) = Corpus.fixtureNewsSite()
     val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)

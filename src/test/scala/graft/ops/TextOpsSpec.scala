@@ -174,6 +174,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top(1L) == Seq(7L, 4L, 5L), s"y-cluster neighbours in cosine order: $top")
   }
 
+  test("ivf top-k: zero-norm vector lands in the lowest-cid list (DuckDB -1 convention)") {
+    // vec 5 has zero norm → every centroid cosine is -1.0 (cosineSql
+    // mirrors DuckDB's measured list_cosine_similarity convention; plain
+    // `/` would throw DIVIDE_BY_ZERO under ANSI mode). All-(-1) ties
+    // resolve to the lowest cid on both engines, so the row assigns to
+    // cid 0 and must surface in a cid-0 probe — never vanish, never
+    // crash the query.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (5L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = TextOps.ivfTopK(emb, Seq(0L), 4, nlist = 2, nprobe = 1)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(got.contains(5L), s"zero-norm vector must stay indexed: $got")
+    assert(got.contains(2L) && !got.contains(1L), s"probe stays cid-0-only: $got")
+  }
+
   test("cosine near-dup: co-directional pair surfaces, orthogonal pair absent") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
