@@ -24,6 +24,16 @@ import scala.jdk.CollectionConverters._
   * which realizes the reference's stale-claim recovery semantics
   * (frontier_repository.go:492-512) for free: an uncommitted batch simply
   * never happened.
+  *
+  * The frontier's settled side is a per-bucket APPEND-ONLY segment chain
+  * ("<b>/s0".."<b>/sN"): a batch commit appends data files and rewrites
+  * only the manifest — exactly Iceberg's append snapshot (new data files
+  * + new manifest list; existing files untouched). Segment compaction is
+  * Iceberg's rewrite-data-files action (new compacted file replaces N
+  * small ones in the next manifest; old files stay until snapshot
+  * expiry), and [[vacuum]] is expire_snapshots: liveness is computed from
+  * the KEPT manifests, so chains referenced across many snapshots
+  * survive until no kept snapshot names them.
   */
 final class SnapshotStore(rootDir: String) {
   private val root: Path = Paths.get(rootDir)
