@@ -468,6 +468,56 @@ object SparkEntry {
       val (page, total) =
         graft.engine.DomainViews.linksPage(links, "d7.example.org", 20, 5)
       page.withColumn("total_count", lit(total))
+    }),
+
+    // ---- F7 feed auto-discovery through the REAL discovery code
+    //      (feed/discovery.go:49-252): a deterministic per-source probe
+    //      world exercises every precedence branch — a validating
+    //      link-rel-alternate candidate, a non-validating candidate that
+    //      falls back to /rss.xml, a dead base page that falls through to
+    //      /atom.xml, a source with nothing valid (""), and a non-feed
+    //      link type that falls back to /feed — plus the per-source
+    //      attempt throttle (srcnum%7==0 attempted inside the retry
+    //      window, so skipped). The oracle replays the precedence as
+    //      CASE arithmetic; a mismatch means candidate extraction, URL
+    //      resolution, feed validation, or path order broke ----
+    "q41_feed_discovery" -> ((s, d) => {
+      import s.implicits._
+      val validRss =
+        "<rss><channel><item><link>https://w.example.org/x</link></item></channel></rss>"
+      def probePage(url: String, alts: Seq[(String, String)] = Nil) =
+        graft.engine.FeedProbePage(url, 200, validRss, alts)
+      // curation-scale collect (10s of sources), like the reference's
+      // source table sweep — NOT corpus data
+      val srcs = t(s, d, "documents").select(col("source")).distinct()
+        .as[String].collect().sorted
+      val probe = srcs.flatMap { src =>
+        val base = s"https://$src.example.net"
+        src.drop(3).toInt % 5 match {
+          case 0 => Seq(
+            base -> probePage(base, Seq("application/rss+xml" -> "/by-link.xml")),
+            s"$base/by-link.xml" -> probePage(s"$base/by-link.xml"))
+          case 1 => Seq( // candidate 404s; /feed../feed.xml absent too
+            base -> probePage(base, Seq("application/atom+xml" -> "/broken.xml")),
+            s"$base/rss.xml" -> probePage(s"$base/rss.xml"))
+          case 2 => Seq(s"$base/atom.xml" -> probePage(s"$base/atom.xml"))
+          case 3 => Nil
+          case _ => Seq(
+            base -> probePage(base, Seq("text/html" -> "/page.html")),
+            s"$base/feed" -> probePage(s"$base/feed"))
+        }
+      }.toMap
+      val now = graft.core.CrawlDefaults.VirtualEpochMs
+      val lastAttempt = srcs.collect {
+        case src if src.drop(3).toInt % 7 == 0 => src -> (now - 1000L)
+      }.toMap
+      val sources = t(s, d, "documents").select(col("source")).distinct()
+        .as[String].map(src =>
+          graft.engine.UndiscoveredSource(src, s"https://$src.example.net"))
+      graft.engine.FeedDiscovery.discoverFeeds(s, sources, probe,
+          lastAttempt, retryAfterMs = 60000L, now = now)
+        .toDF("source_id", "feed_url", "attempted_at")
+        .orderBy("source_id")
     })
   )
 
@@ -998,6 +1048,26 @@ object SparkEntry {
          f AS (SELECT * FROM links WHERE domain = 'd7.example.org')
          SELECT domain, url, source_id, depth, discovered_at,
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS total_count
-         FROM f ORDER BY discovered_at DESC, url ASC LIMIT 20 OFFSET 5"""
+         FROM f ORDER BY discovered_at DESC, url ASC LIMIT 20 OFFSET 5""",
+
+    // Replays q41's probe-world construction: the discovered feed URL is
+    // a pure function of srcnum % 5 (link-rel candidate, /rss.xml
+    // fallback, /atom.xml fallback, none, /feed fallback) and throttled
+    // sources (srcnum % 7 = 0) are skipped — the Spark side MUST go
+    // through the real candidate-extraction / validation / path-order
+    // code to produce the same rows.
+    "q41_feed_discovery" ->
+      """SELECT source AS source_id,
+                CASE CAST(substr(source, 4) AS INT) % 5
+                  WHEN 0 THEN 'https://' || source || '.example.net/by-link.xml'
+                  WHEN 1 THEN 'https://' || source || '.example.net/rss.xml'
+                  WHEN 2 THEN 'https://' || source || '.example.net/atom.xml'
+                  WHEN 3 THEN ''
+                  ELSE 'https://' || source || '.example.net/feed'
+                END AS feed_url,
+                CAST(1700000000000 AS BIGINT) AS attempted_at
+         FROM (SELECT DISTINCT source FROM documents)
+         WHERE CAST(substr(source, 4) AS INT) % 7 <> 0
+         ORDER BY source_id"""
   )
 }
