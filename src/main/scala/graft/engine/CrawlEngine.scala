@@ -219,13 +219,26 @@ final class CrawlEngine(
     */
   private lazy val pagesLookupBc
       : Option[org.apache.spark.broadcast.Broadcast[Map[String, PageRow]]] = {
-    val estBytes = pages.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (pagesCached.count() <= cfg.fetchBroadcastMaxRows &&
+    // count() FIRST: it materializes the cache, after which the
+    // InMemoryRelation's stats report the ACTUAL cached batch bytes. The
+    // raw (uncached) plan has no stats for non-file sources — a
+    // mapPartitions-generated corpus reports the defaultSizeInBytes
+    // sentinel, which must not veto the broadcast (it silently demoted
+    // every bench fetch to the per-batch join fallback once).
+    val n = pagesCached.count()
+    val estBytes = pagesCached.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (n <= cfg.fetchBroadcastMaxRows &&
         estBytes <= cfg.fetchBroadcastMaxBytes)
       Some(spark.sparkContext.broadcast(
         pagesCached.collect().map(p => p.url_hash -> p).toMap))
     else None
   }
+
+  /** Whether the per-claim fetch probe runs off the corpus broadcast
+    * (vs the cached co-partitioned join fallback). Diagnostic — the two
+    * paths are parity-identical; only the cost model differs.
+    */
+  def fetchUsesBroadcast: Boolean = pagesLookupBc.isDefined
 
   /** Materialize the corpus cache + redirect topology up front (bench: the
     * corpus is the test stand-in for HTTP I/O, not engine work to measure).

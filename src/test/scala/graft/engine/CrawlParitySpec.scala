@@ -544,6 +544,23 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(engineState(eJoin) == engineState(eBc), "frontier state")
   }
 
+  test("fetch-broadcast byte budget: generated (stat-less) corpus within bounds broadcasts") {
+    // a mapPartitions-generated corpus (the bench's shape) has NO catalyst
+    // stats pre-cache — the sentinel sizeInBytes once silently vetoed the
+    // broadcast and demoted every bench fetch to the per-batch join
+    // fallback (537 s/batch at p1). The gate must measure the MATERIALIZED
+    // cache, which knows the real bytes.
+    val p = CorpusParams(numHosts = 4, pagesPerHost = 6, skewHosts = 1,
+      skewFactor = 2, outdegree = 3)
+    val genPages = spark.range(p.totalPages)
+      .mapPartitions(it => it.map(i => Corpus.pageAt(p, i)))
+    val e = new CrawlEngine(spark, newStore(), genPages, Corpus.robots(p),
+      EngineConfig(numBuckets = 8, maxDepth = 8))
+    e.warmCorpus()
+    assert(e.fetchUsesBroadcast,
+      "within-bounds generated corpus must take the broadcast fast path")
+  }
+
   test("lineage: per-partition metrics recorded every batch") {
     val (pages, robots, seeds) = Corpus.fixtureNewsSite()
     val cfg = EngineConfig(numBuckets = 8, maxDepth = 5)
