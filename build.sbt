@@ -30,10 +30,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the crawl bench at 600k hosts is GC-bound below ~16g
-  // (measured eff 0.39 at 8g vs 0.78 at 24g, identical job — the old 8g
-  // default was the scaling bottleneck, not the engine); the box has
-  // 128 GiB and local[32] Spark is one JVM, so 24g is the honest
-  // single-executor analog.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default: the crawl bench is GC-bound when the heap is tight —
+  // measured eff 0.39 at 8g vs 0.78 at 24g (600k hosts), and at 24g the
+  // p4 drain still intermittently fell into a GC spiral (batch-1 fetch
+  // 21 s → 232 s on the identical job; 48g + GC log showed young pauses
+  // only and the stage back at 21 s). Local-mode Spark is ONE JVM for
+  // the driver and every executor thread, so sizing the heap for the
+  // 4-thread level is the honest N vs 4N model: on a real cluster each
+  // of the 4 executors brings its OWN heap — sharing one p1-sized heap
+  // would tax the hi level with GC a cluster never pays. Box has
+  // 128 GiB; 48g leaves headroom for tmpfs state + external load.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -5,6 +5,7 @@ import graft.corpus.{Corpus, CorpusParams}
 import graft.engine.{CrawlEngine, EngineConfig}
 import graft.state.SnapshotStore
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark runner (driver contract): prints ONE JSON line.
   *
@@ -55,15 +56,97 @@ object Bench {
     s
   }
 
+  /** Floor gauge: the union of [jobStart, jobEnd] wall intervals during a
+    * drain. wall − union = time NO Spark job was running — the pure
+    * driver-side serial floor (Catalyst planning, parquet commit
+    * protocol, manifest IO, await gaps) that N→4N scaling cannot touch.
+    * Interval-union (not Σdurations) so the engine's overlapped futures
+    * don't double-count.
+    */
+  private final class JobIntervals extends org.apache.spark.scheduler.SparkListener {
+    val jobs = scala.collection.concurrent.TrieMap[Int, (Long, Long)]()
+    // task start/end event stream: swept afterwards into a
+    // time-at-concurrency histogram (how much wall ran at 0,1,2,... busy
+    // cores) — the Amdahl decomposition of a drain
+    val taskEv = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    // per-stage (wall, numTasks, name) for stages that bound parallelism
+    val stages = scala.collection.concurrent.TrieMap[Int, (Double, Int, String)]()
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs(js.jobId) = (js.time, Long.MaxValue)
+    override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobs.get(je.jobId).foreach { case (s, _) => jobs(je.jobId) = (s, je.time) }
+    override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+      taskEv.add((ts.taskInfo.launchTime, 1))
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      taskEv.add((te.taskInfo.finishTime, -1))
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val wall = (for { s <- i.submissionTime; e <- i.completionTime }
+        yield (e - s) / 1e3).getOrElse(0.0)
+      stages(i.stageId) = (wall, i.numTasks, i.name.takeWhile(_ != '\n').take(60))
+    }
+    /** wall seconds spent at each concurrency level within [t0, t1]. */
+    def concurrency(t0: Long, t1: Long): Seq[(Int, Double)] = {
+      val ev = taskEv.iterator().asScala.toSeq.filter(e => e._1 >= t0 && e._1 <= t1)
+        .sortBy(_._1)
+      val acc = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      var cur = 0; var last = t0
+      ev.foreach { case (t, d) => acc(cur) += t - last; last = t; cur += d }
+      acc(cur) += t1 - last
+      acc.toSeq.sortBy(_._1).map { case (c, ms) => (c, ms / 1e3) }
+    }
+    /** (jobs, busySecs) within [t0, t1] (millis since epoch). */
+    def busyWithin(t0: Long, t1: Long): (Int, Double) = {
+      val iv = jobs.values.toSeq
+        .map { case (s, e) => (math.max(s, t0), math.min(if (e == Long.MaxValue) t1 else e, t1)) }
+        .filter { case (s, e) => e > s }
+        .sortBy(_._1)
+      var busy = 0L; var end = Long.MinValue
+      iv.foreach { case (s, e) =>
+        if (s > end) { busy += e - s; end = e }
+        else if (e > end) { busy += e - end; end = e }
+      }
+      (iv.size, busy / 1e3)
+    }
+  }
+
+  /** Catalyst gauge: total analysis/optimization/physical-planning time
+    * across every query executed during a drain (QueryPlanningTracker
+    * phase sums). All of it is single-threaded driver work — the part of
+    * the no-job floor that Catalyst itself costs.
+    */
+  private final class PlanPhases
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val sums = scala.collection.concurrent.TrieMap[String, Long]()
+    private def add(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      qe.tracker.phases.foreach { case (phase, s) =>
+        sums.updateWith(phase)(v => Some(v.getOrElse(0L) + (s.endTimeMs - s.startTimeMs)))
+      }
+    override def onSuccess(f: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = add(qe)
+    override def onFailure(f: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = add(qe)
+  }
+
   /** One full drain over the bench corpus at the given parallelism.
     * Returns (urlsFetched, batches, wallSeconds).
     */
-  private def crawlRun(cpus: Int, p: CorpusParams, maxBatches: Int): (Long, Long, Double) = {
+  private def crawlRun(cpus: Int, p: CorpusParams, maxBatches: Int,
+      corpusDir: Option[String] = None): (Long, Long, Double) = {
     val spark = session(cpus, adaptive = false)
     import spark.implicits._
     try {
-      val pages = spark.range(p.totalPages)
-        .mapPartitions(it => it.map(i => Corpus.pageAt(p, i)))
+      // corpus-at-rest: read the pre-generated parquet when the bench
+      // provides one (generation is corpus manufacturing, not crawl work
+      // — inline it only costs the p1 level minutes of untimed warm-up
+      // per run, shrinking how many gated samples fit the load budget);
+      // fall back to inline generation for ad-hoc callers
+      val pages = corpusDir match {
+        case Some(dir) => spark.read.parquet(dir).as[graft.core.PageRow]
+        case None => spark.range(p.totalPages)
+          .mapPartitions(it => it.map(i => Corpus.pageAt(p, i)))
+      }
       val robots = Corpus.robots(p)
       // distributed seed generation: no driver-local seed Seq in the task
       // binary (300k hosts made a 21 MB task; 10^8 would OOM the driver)
@@ -91,11 +174,35 @@ object Bench {
           useKeyedRobotsState = sys.env.contains("SPARK_GRAFT_BENCH_KEYED_ROBOTS")))
       engine.warmCorpus() // corpus generation = the "web", not crawl work
       engine.seed(seeds)
+      val gauge = new JobIntervals
+      spark.sparkContext.addSparkListener(gauge)
+      val phases = new PlanPhases
+      spark.listenerManager.register(phases)
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val batches = engine.runDrain()
       val fetched = engine.frontier()
         .filter(_.status == FrontierStatus.Fetched).count()
       val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let the async listener bus drain the last JobEnd
+      val (nJobs, busy) = gauge.busyWithin(w0, w0 + (secs * 1e3).toLong)
+      val ph = phases.sums.toSeq.sortBy(-_._2)
+        .map { case (k, ms) => f"$k ${ms / 1e3}%.1fs" }.mkString(" ")
+      System.err.println(
+        f"[bench] p$cpus wall $secs%.1fs jobs=$nJobs busy $busy%.1fs " +
+          f"floor ${secs - busy}%.1fs (no-job driver time); catalyst: $ph")
+      if (sys.env.contains("GRAFT_TRACE")) {
+        val conc = gauge.concurrency(w0, w0 + (secs * 1e3).toLong)
+          .map { case (c, s) => f"$c:$s%.1fs" }.mkString(" ")
+        System.err.println(s"[bench] p$cpus task-concurrency $conc")
+        gauge.stages.values.toSeq.filter(s => s._2 < cpus && s._1 > 0.5)
+          .sortBy(-_._1).take(12).foreach { case (wall, nt, name) =>
+            System.err.println(
+              f"[bench] p$cpus narrow-stage $wall%6.1fs tasks=$nt $name")
+          }
+      }
+      spark.sparkContext.removeSparkListener(gauge)
+      spark.listenerManager.unregister(phases)
       (fetched, batches, secs)
     } finally spark.stop()
   }
@@ -219,10 +326,26 @@ object Bench {
     var extraPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "3").toInt
     // each sample carries the pre-run external-busy reading so the
     // reported numbers come with their measurement conditions
+    // manufacture the corpus ONCE at full parallelism and let every run
+    // read it at rest: the per-run (untimed) warm-up drops from minutes
+    // of single-threaded generation at p1 to a parquet scan, so far more
+    // gated samples fit one load-wait budget
+    val corpusDir = {
+      val dir = s"/dev/shm/graft/corpus_$benchHosts"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+        val s = session(cpus, adaptive = false)
+        import s.implicits._
+        s.range(benchCorpus.totalPages)
+          .mapPartitions(it => it.map(i => Corpus.pageAt(benchCorpus, i)))
+          .write.mode("overwrite").parquet(dir)
+        s.stop()
+      }
+      dir
+    }
     def gatedRun(p: Int): (Long, Long, Double, Int) = {
       awaitQuiet()
       val busy = runnableNow()
-      val r = crawlRun(p, benchCorpus, maxBatches)
+      val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir))
       (r._1, r._2, r._3, busy)
     }
     val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double, Int)]]()

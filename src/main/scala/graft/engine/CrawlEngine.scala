@@ -945,7 +945,12 @@ final class CrawlEngine(
   /** Runs micro-batches until the frontier drains; returns #batches run. */
   def runDrain(): Long = {
     var n = 0L
-    while (n < cfg.maxBatches && step()) n += 1
+    // the batch that exhausts the budget must not prefetch a successor
+    // (min_ready + claims argmin for a batch that never runs): the orphan
+    // job would steal executor threads from the caller's next action and
+    // die unpersisting under spark.stop ("Block ... not found" noise)
+    while (n < cfg.maxBatches && step(prefetchNext = n + 1 < cfg.maxBatches))
+      n += 1
     n
   }
 
@@ -961,7 +966,7 @@ final class CrawlEngine(
     * The previous try-claim-then-jump-then-retry shape cost an extra
     * claim job at every politeness-parked batch boundary.
     */
-  def step(): Boolean = {
+  def step(prefetchNext: Boolean = true): Boolean = {
     // consume the prefetched (min_ready → claims) chain when the previous
     // batch kicked one off (it overlaps that batch's sink awaits, commit,
     // and — for the claims cache — the start of this batch); fallback is
@@ -989,7 +994,7 @@ final class CrawlEngine(
         // claim (runBatch asserts when it awaits the bucket set)
         clock = c
         batchId += 1
-        runBatch(claimsDf, bucketsF)
+        runBatch(claimsDf, bucketsF, prefetchNext)
         true
     }
   }
@@ -1088,7 +1093,8 @@ final class CrawlEngine(
   }
 
   private def runBatch(claims: Dataset[FrontierUrl],
-      claimsBucketsF: scala.concurrent.Future[Set[Int]]): Unit = {
+      claimsBucketsF: scala.concurrent.Future[Set[Int]],
+      prefetchNext: Boolean = true): Unit = {
     val now = clock
     val bid = batchId
     val nb = cfg.numBuckets
@@ -1561,7 +1567,7 @@ final class CrawlEngine(
     // aggregate prefetches here and overlaps the remaining awaits, the
     // manifest commit and the inter-batch driver bookkeeping.
     Await.result(hostF, Duration.Inf)
-    spawnPrefetch()
+    if (prefetchNext) spawnPrefetch()
     Await.result(claimLogF, Duration.Inf)
     Await.result(docsF, Duration.Inf)
     Await.result(linksF, Duration.Inf)
