@@ -192,47 +192,88 @@ final class CrawlEngine(
   /** Corpus pre-partitioned AND pre-sorted ONCE by the fetch-join key:
     * the cached scan keeps both the partitioning and the ordering, so the
     * per-batch lookup join neither re-shuffles nor re-sorts the corpus
-    * side — only the (small) claim side moves.
+    * side — only the (small) claim side moves. Partition count is the
+    * engine's bucket knob, NOT the session's shuffle default: at
+    * local[1] the default collapsed the columnar cache build into ONE
+    * giant-buffer task (minutes of copy for a 600 MB corpus). LAZY — the
+    * broadcast fast path never builds this cache at all.
     */
-  private val pagesCached =
-    pages.repartition(col("url_hash")).sortWithinPartitions("url_hash").cache()
+  private lazy val pagesCached =
+    pages.repartition(math.max(cfg.numBuckets, 4), col("url_hash"))
+      .sortWithinPartitions("url_hash").cache()
+
+  /** The gate + one-pass corpus collect for the broadcast fast path.
+    *
+    * File-backed corpora (parquet) gate on PLAN stats — the footer-true
+    * byte size — and collect straight from the scan: no columnar cache is
+    * ever built for them (measured: caching a 600 k-page corpus cost a
+    * ~517 s single-task columnar build that exists only to be read once).
+    * Sources with no real stats (a generated/in-memory corpus reports the
+    * defaultSizeInBytes sentinel, which must never veto the broadcast —
+    * that silently demoted every bench fetch to the join fallback once)
+    * materialize the co-partitioned cache and gate on its measured bytes.
+    * Row gate first in both paths: the driver never collects more than
+    * fetchBroadcastMaxRows.
+    */
+  private lazy val corpusCollected: Option[Array[PageRow]] = {
+    val statsBytes = pages.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    if (statsBytes < sentinel) {
+      if (statsBytes > BigInt(cfg.fetchBroadcastMaxBytes)) None
+      else {
+        val n = pages.count()
+        if (n > cfg.fetchBroadcastMaxRows) None
+        else Some(pages.collect())
+      }
+    } else {
+      val n = pagesCached.count()
+      val est = pagesCached.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (n <= cfg.fetchBroadcastMaxRows &&
+          est <= BigInt(cfg.fetchBroadcastMaxBytes))
+        Some(pagesCached.collect())
+      else None
+    }
+  }
 
   /** Redirect topology (url_hash → redirect_to) broadcast once per drain:
     * redirect rows are sparse corpus metadata, so the whole fetch stage —
     * chain following included — is ONE distributed pass + one join instead
     * of a join per hop. (A live-HTTP fetcher has the same single-pass shape:
-    * the redirect loop happens per row inside the fetch task.)
+    * the redirect loop happens per row inside the fetch task.) Built from
+    * the already-collected corpus when the fast path took it.
     */
   private lazy val redirectBc = spark.sparkContext.broadcast(
-    pagesCached
-      .filter(p => p.status_code >= 300 && p.status_code < 400 && p.redirect_to.nonEmpty)
-      .map(p => p.url_hash -> p.redirect_to)
-      .collect().toMap)
+    corpusCollected match {
+      case Some(rows) => rows.iterator
+        .filter(p => p.status_code >= 300 && p.status_code < 400 &&
+          p.redirect_to.nonEmpty)
+        .map(p => p.url_hash -> p.redirect_to).toMap
+      case None => pagesCached
+        .filter(p => p.status_code >= 300 && p.status_code < 400 && p.redirect_to.nonEmpty)
+        .map(p => p.url_hash -> p.redirect_to)
+        .collect().toMap
+    })
 
   /** Page lookup broadcast: the corpus is the sandbox stand-in for HTTP
     * I/O, whose real cost is per-CLAIM, not per-corpus — a join against
     * the whole corpus table re-streams "the web" every micro-batch, which
-    * misprices the engine. Corpora up to this bound are broadcast once and
+    * misprices the engine. Corpora within the gate broadcast once and are
     * probed per claim; larger ones fall back to the cached co-partitioned
     * join (a real 100 TB deployment replaces this stage with its fetch
     * service entirely).
+    *
+    * Broadcast as PARALLEL SORTED ARRAYS (url_hash-sorted rows + the hash
+    * column), probed by binary search — not a Map: the BlockManager runs
+    * SizeEstimator over a stored broadcast value, which WALKS a map's
+    * every entry (minutes of driver time for 600 k nested rows) but
+    * SAMPLES large arrays.
     */
   private lazy val pagesLookupBc
-      : Option[org.apache.spark.broadcast.Broadcast[Map[String, PageRow]]] = {
-    // count() FIRST: it materializes the cache, after which the
-    // InMemoryRelation's stats report the ACTUAL cached batch bytes. The
-    // raw (uncached) plan has no stats for non-file sources — a
-    // mapPartitions-generated corpus reports the defaultSizeInBytes
-    // sentinel, which must not veto the broadcast (it silently demoted
-    // every bench fetch to the per-batch join fallback once).
-    val n = pagesCached.count()
-    val estBytes = pagesCached.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (n <= cfg.fetchBroadcastMaxRows &&
-        estBytes <= cfg.fetchBroadcastMaxBytes)
-      Some(spark.sparkContext.broadcast(
-        pagesCached.collect().map(p => p.url_hash -> p).toMap))
-    else None
-  }
+      : Option[org.apache.spark.broadcast.Broadcast[(Array[String], Array[PageRow])]] =
+    corpusCollected.map { rows =>
+      val sorted = rows.sortBy(_.url_hash)
+      spark.sparkContext.broadcast((sorted.map(_.url_hash), sorted))
+    }
 
   /** Whether the per-claim fetch probe runs off the corpus broadcast
     * (vs the cached co-partitioned join fallback). Diagnostic — the two
@@ -240,14 +281,15 @@ final class CrawlEngine(
     */
   def fetchUsesBroadcast: Boolean = pagesLookupBc.isDefined
 
-  /** Materialize the corpus cache + redirect topology up front (bench: the
-    * corpus is the test stand-in for HTTP I/O, not engine work to measure).
+  /** Materialize the corpus lookup structures up front (bench: the
+    * corpus is the test stand-in for HTTP I/O, not engine work to
+    * measure). The fallback-join cache only builds when the broadcast
+    * gate rejected the corpus.
     */
   def warmCorpus(): Long = {
-    val n = pagesCached.count()
     redirectBc
     pagesLookupBc
-    n
+    corpusCollected.map(_.length.toLong).getOrElse(pagesCached.count())
   }
 
   var clock: Long = CrawlDefaults.VirtualEpochMs
@@ -1200,9 +1242,12 @@ final class CrawlEngine(
       case Some(bc) =>
         gated.map { s =>
           if (s.failReason.nonEmpty) s
-          else bc.value.get(s.lookupHash) match {
-            case None    => s.copy(failReason = "fetch_error")
-            case Some(p) => s.copy(page = Some(p))
+          else {
+            val (hashes, rows) = bc.value
+            val i = java.util.Arrays.binarySearch(
+              hashes.asInstanceOf[Array[AnyRef]], s.lookupHash)
+            if (i < 0) s.copy(failReason = "fetch_error")
+            else s.copy(page = Some(rows(i)))
           }
         }
       case None =>
