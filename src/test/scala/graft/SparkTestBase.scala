@@ -12,6 +12,9 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the sandbox host's vCPU-descheduling storms can stall a broadcast
+      // build past the 300 s default and fail an otherwise-green suite
+      .config("spark.sql.broadcastTimeout", "3600")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
