@@ -136,12 +136,34 @@ object Bench {
 
   /** One full drain over the bench corpus at the given parallelism.
     * Returns (urlsFetched, batches, wallSeconds).
+    *
+    * abortAfterSecs: a sample whose wall exceeds this bound is already
+    * useless under min-wall selection (the host degraded mid-run); the
+    * watchdog stops the session so the sampler can move on to a fresh
+    * gated attempt instead of grinding out a number it will discard —
+    * on this host a degraded run can take 6x the healthy wall.
     */
   private def crawlRun(cpus: Int, p: CorpusParams, maxBatches: Int,
-      corpusDir: Option[String] = None): (Long, Long, Double) = {
+      corpusDir: Option[String] = None,
+      abortAfterSecs: Double = Double.MaxValue): (Long, Long, Double) = {
     val spark = session(cpus, adaptive = false)
     import spark.implicits._
     var storeDir: Option[java.nio.file.Path] = None
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (abortAfterSecs < Double.MaxValue) {
+      val w = new Thread(() => {
+        try {
+          Thread.sleep((abortAfterSecs * 1000).toLong)
+          if (!done.get()) {
+            System.err.println(
+              f"[bench] p$cpus watchdog: wall > $abortAfterSecs%.0fs bound; aborting sample")
+            spark.stop()
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"bench-watchdog-$cpus")
+      w.setDaemon(true)
+      w.start()
+    }
     try {
       // corpus-at-rest: read the pre-generated parquet when the bench
       // provides one (generation is corpus manufacturing, not crawl work
@@ -213,6 +235,7 @@ object Bench {
       spark.listenerManager.unregister(phases)
       (fetched, batches, secs)
     } finally {
+      done.set(true)
       try spark.stop() catch { case _: Throwable => () }
       // tmpfs hygiene: a crashed sample must not leak its snapshot store
       // (the resilient sampler may run many samples per bench)
@@ -284,12 +307,18 @@ object Bench {
       one() // JIT warm
       val xs = Seq(one(), one(), one()).sorted; xs(1)
     }
-    val burnGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_BURN_GATE", "800").toDouble
+    val burnGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_BURN_GATE", "1000").toDouble
     def awaitQuiet(): Unit = {
       var b = externalBusy()
       var st = stealPct(2000)
       var br = burnRate()
-      while ((b > loadGate || st > stealGate || br < burnGate) && waitLeft > 0) {
+      // the burn is the authoritative gauge: it measures ACTUAL cycle
+      // delivery. A strong burn (≥1.3x gate) overrides a noisy steal
+      // reading — steal accounted against idle vCPUs costs us nothing,
+      // and blocking on it wastes the quiet window the burn just proved.
+      def degraded(st: Double, br: Double): Boolean =
+        br < burnGate || (st > stealGate && br < 1.3 * burnGate)
+      while ((b > loadGate || degraded(st, br)) && waitLeft > 0) {
         System.err.println(
           f"[bench] external runnable ~$b (gate $loadGate) steal $st%.1f%% " +
             f"(gate $stealGate%.1f) burn $br%.0f loops/s (gate $burnGate%.0f); " +
@@ -352,6 +381,15 @@ object Bench {
     spark.stop()
 
     // ---- 2) crawl scaling: identical job + input, N vs 4N threads ----
+    // query-only probe mode (e.g. steady-state re-measure of a single
+    // query under the load gate): report the suite, skip the crawl
+    if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_CRAWL")) {
+      val qs0 = (results ++ recall)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f"${results.map(_._2).sum}%.4f"},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      return
+    }
     // 300k hosts (~600k pages, ~170k claims/batch): batches big enough to
     // amortize the ~8 s/batch parallelism-independent floor (Catalyst
     // plan/schedule/broadcast/commit round-trips) that capped efficiency
@@ -385,7 +423,7 @@ object Bench {
     // min-wall is the estimator at both levels, so extra samples only
     // remove external-burst noise from the ratio, never manufacture it.
     val effTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
-    var extraPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "3").toInt
+    var extraPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
     // each sample carries the pre-run external-busy reading so the
     // reported numbers come with their measurement conditions
     // manufacture the corpus ONCE at full parallelism and let every run
@@ -404,6 +442,8 @@ object Bench {
       }
       dir
     }
+    val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double, Int)]]()
+      .withDefaultValue(Nil)
     // a sample that CRASHES (e.g. the host descheduling storm stalls a
     // broadcast past even the raised timeout, or an executor OOMs under
     // external memory pressure) must cost only itself — the driver's
@@ -412,8 +452,13 @@ object Bench {
     def gatedRun(p: Int): Option[(Long, Long, Double, Int)] = {
       awaitQuiet()
       val busy = runnableNow()
+      // once the level has a best wall, a sample exceeding 2.5x it (plus
+      // untimed setup allowance — the watchdog clock starts at session
+      // build) cannot become the min and is aborted mid-run
+      val abortBound = samples(p).map(_._3).minOption
+        .map(best => 2.5 * best + 180.0).getOrElse(Double.MaxValue)
       try {
-        val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir))
+        val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir), abortBound)
         System.err.println(f"[bench] p$p sample wall ${r._3}%.1fs (ext_busy pre-run $busy)")
         Some((r._1, r._2, r._3, busy))
       } catch {
@@ -425,8 +470,6 @@ object Bench {
           None
       }
     }
-    val samples = scala.collection.mutable.Map[Int, List[(Long, Long, Double, Int)]]()
-      .withDefaultValue(Nil)
     var retriesLeft = 2
     (1 to repeats).foreach { _ =>
       Seq(pLo, pHi).foreach { p => // interleaved: lo, hi, lo, hi, ...
