@@ -308,23 +308,51 @@ object Bench {
       val xs = Seq(one(), one(), one()).sorted; xs(1)
     }
     val burnGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_BURN_GATE", "1000").toDouble
+    // page-allocation gauge: MB/s of FRESH page delivery, measured by
+    // writing to a new tmpfs file (tmpfs writes allocate pages through
+    // the same path as anon faults). The host has a degradation mode the
+    // burn CANNOT see: integer loops (L1-resident, no new pages) run at
+    // full speed while fresh-page faults deliver ~7 MB/s (measured;
+    // healthy ≈1 GB/s) — a JVM growing its heap or writing shuffle/
+    // parquet buffers then runs 30x slow with GC quiet and steal ~0.
+    // One such storm cost a p1 drain a 649 s sub_buckets stage on an
+    // otherwise 92%-idle machine.
+    def pageRate(): Double = {
+      val dir = java.nio.file.Paths.get("/dev/shm")
+      val f = java.nio.file.Files.createTempFile(dir, "graft-gate", ".probe")
+      try {
+        val chunk = new Array[Byte](1 << 20)
+        val out = java.nio.file.Files.newOutputStream(f)
+        val mb = 64
+        val t0 = System.nanoTime
+        var i = 0; while (i < mb) { out.write(chunk); i += 1 }
+        out.close()
+        mb * 1e9 / (System.nanoTime - t0)
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+    val pageGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGE_GATE", "200").toDouble
     def awaitQuiet(): Unit = {
       var b = externalBusy()
       var st = stealPct(2000)
       var br = burnRate()
-      // the burn is the authoritative gauge: it measures ACTUAL cycle
-      // delivery. A strong burn (≥1.3x gate) overrides a noisy steal
-      // reading — steal accounted against idle vCPUs costs us nothing,
-      // and blocking on it wastes the quiet window the burn just proved.
-      def degraded(st: Double, br: Double): Boolean =
-        br < burnGate || (st > stealGate && br < 1.3 * burnGate)
-      while ((b > loadGate || degraded(st, br)) && waitLeft > 0) {
+      var pr = pageRate()
+      // the burn is the authoritative CYCLE gauge: it measures ACTUAL
+      // cycle delivery. A strong burn (≥1.3x gate) overrides a noisy
+      // steal reading — steal accounted against idle vCPUs costs us
+      // nothing, and blocking on it wastes the quiet window the burn
+      // just proved. The page gauge is ORTHOGONAL (memory delivery, not
+      // cycles) and is never overridden: both storms occur independently.
+      def degraded(st: Double, br: Double, pr: Double): Boolean =
+        br < burnGate || pr < pageGate ||
+          (st > stealGate && br < 1.3 * burnGate)
+      while ((b > loadGate || degraded(st, br, pr)) && waitLeft > 0) {
         System.err.println(
           f"[bench] external runnable ~$b (gate $loadGate) steal $st%.1f%% " +
-            f"(gate $stealGate%.1f) burn $br%.0f loops/s (gate $burnGate%.0f); " +
+            f"(gate $stealGate%.1f) burn $br%.0f loops/s (gate $burnGate%.0f) " +
+            f"pages $pr%.0f MB/s (gate $pageGate%.0f); " +
             s"waiting (${waitLeft}s budget left)")
         Thread.sleep(10000); waitLeft -= 19
-        b = externalBusy(); st = stealPct(2000); br = burnRate()
+        b = externalBusy(); st = stealPct(2000); br = burnRate(); pr = pageRate()
       }
     }
 
@@ -342,11 +370,31 @@ object Bench {
           try SparkEntry.queries(q)(spark, sfDir).count()
           catch { case _: Throwable => () }
         }
-    val results = (if (skipQueries) Nil
-      else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    def runSuite(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val results = if (skipQueries) Nil else {
+      var acc = runSuite()
+      // the gate ran BEFORE the suite; a storm arriving mid-suite
+      // silently inflates every subsequent query's time (measured: a
+      // page-delivery storm turned the 29 s suite into 46 s with no
+      // guest-visible load). Post-check the gauges: if the window went
+      // bad while we measured, take one gated re-run and keep the
+      // per-query MIN — min is the noise-free estimator per query.
+      var retries = 2
+      while (retries > 0 && waitLeft > 0 &&
+          (burnRate() < burnGate || pageRate() < pageGate)) {
+        retries -= 1
+        System.err.println(
+          "[bench] storm detected after query suite; gated re-run, per-query min")
+        awaitQuiet()
+        acc = acc.zip(runSuite()).map { case ((n, a), (_, b)) =>
+          n -> math.min(a, b) }
+      }
+      acc
     }
     // ANN quality: recall@10 vs the exact baseline, reported as a CURVE —
     // 3 operating points per index family, so the recall/cost dial is
@@ -454,9 +502,16 @@ object Bench {
       val busy = runnableNow()
       // once the level has a best wall, a sample exceeding 2.5x it (plus
       // untimed setup allowance — the watchdog clock starts at session
-      // build) cannot become the min and is aborted mid-run
+      // build) cannot become the min and is aborted mid-run. The FIRST
+      // sample gets an absolute bound instead: a storm arriving after
+      // the gate opened (measured: page-delivery collapsed mid-run and
+      // ground a healthy-start p1 drain past 20 minutes) must not grind
+      // unbounded when no best exists yet to compare against.
+      val absBound =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ABORT_ABS", "1200").toDouble
       val abortBound = samples(p).map(_._3).minOption
-        .map(best => 2.5 * best + 180.0).getOrElse(Double.MaxValue)
+        .map(best => math.min(2.5 * best + 180.0, absBound))
+        .getOrElse(absBound)
       try {
         val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir), abortBound)
         System.err.println(f"[bench] p$p sample wall ${r._3}%.1fs (ext_busy pre-run $busy)")
