@@ -145,19 +145,48 @@ object Bench {
     */
   private def crawlRun(cpus: Int, p: CorpusParams, maxBatches: Int,
       corpusDir: Option[String] = None,
-      abortAfterSecs: Double = Double.MaxValue): (Long, Long, Double) = {
+      abortAfterSecs: Double = Double.MaxValue,
+      stormProbe: Option[() => Double] = None,
+      stormAbortBelow: Double = 50.0): (Long, Long, Double) = {
     val spark = session(cpus, adaptive = false)
     import spark.implicits._
     var storeDir: Option[java.nio.file.Path] = None
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    if (abortAfterSecs < Double.MaxValue) {
+    if (abortAfterSecs < Double.MaxValue || stormProbe.nonEmpty) {
       val w = new Thread(() => {
         try {
-          Thread.sleep((abortAfterSecs * 1000).toLong)
-          if (!done.get()) {
-            System.err.println(
-              f"[bench] p$cpus watchdog: wall > $abortAfterSecs%.0fs bound; aborting sample")
-            spark.stop()
+          val t0 = System.nanoTime
+          var consecutiveLow = 0
+          var abort = false
+          while (!done.get() && !abort) {
+            Thread.sleep(30000)
+            val wall = (System.nanoTime - t0) / 1e9
+            if (!done.get()) {
+              if (wall > abortAfterSecs) {
+                System.err.println(
+                  f"[bench] p$cpus watchdog: wall $wall%.0fs > $abortAfterSecs%.0fs bound; aborting sample")
+                abort = true
+              }
+              // mid-run storm detector: a collapsed fresh-page delivery
+              // (see the gate's pageRate) makes this sample garbage no
+              // matter when it finishes — abort after ~2 min of
+              // CONFIRMED storm instead of grinding to the wall bound.
+              // The threshold sits far below any self-induced tmpfs
+              // contention (the drain's own writes are bursty; storms
+              // measured 4-28 MB/s sustained) and four consecutive
+              // probes make a transient burst a non-event.
+              stormProbe.foreach { probe =>
+                val r = probe()
+                if (r < stormAbortBelow) consecutiveLow += 1
+                else consecutiveLow = 0
+                if (consecutiveLow >= 4 && wall > 120) {
+                  System.err.println(
+                    f"[bench] p$cpus watchdog: page delivery $r%.0f MB/s for 4 probes; storm — aborting sample")
+                  abort = true
+                }
+              }
+              if (abort) spark.stop()
+            }
           }
         } catch { case _: InterruptedException => () }
       }, s"bench-watchdog-$cpus")
@@ -471,7 +500,7 @@ object Bench {
     // min-wall is the estimator at both levels, so extra samples only
     // remove external-burst noise from the ratio, never manufacture it.
     val effTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TARGET", "0.8").toDouble
-    var extraPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4").toInt
+    var extraPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "6").toInt
     // each sample carries the pre-run external-busy reading so the
     // reported numbers come with their measurement conditions
     // manufacture the corpus ONCE at full parallelism and let every run
@@ -513,7 +542,9 @@ object Bench {
         .map(best => math.min(2.5 * best + 180.0, absBound))
         .getOrElse(absBound)
       try {
-        val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir), abortBound)
+        val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir), abortBound,
+          stormProbe = Some(() => pageRate()),
+          stormAbortBelow = pageGate / 4)
         System.err.println(f"[bench] p$p sample wall ${r._3}%.1fs (ext_busy pre-run $busy)")
         Some((r._1, r._2, r._3, busy))
       } catch {
