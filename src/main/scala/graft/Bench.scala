@@ -20,6 +20,36 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
+  @volatile private var heapCommitted = false
+
+  /** Fault in (commit) a slab of heap so later allocations reuse pages
+    * instead of first-touching fresh ones mid-measurement — see the
+    * page-storm notes at the load gate. Size via
+    * SPARK_GRAFT_BENCH_HEAP_COMMIT_GB (default 12; 0 disables). Runs
+    * once per JVM; ~12 s at healthy page delivery.
+    */
+  private[graft] def commitHeapOnce(): Unit = synchronized {
+    if (heapCommitted) return
+    heapCommitted = true
+    val gb = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP_COMMIT_GB", "12").toInt
+    if (gb <= 0) return
+    val t0 = System.nanoTime
+    val slabMb = 256
+    val slabs = gb * 1024 / slabMb
+    val hold = new Array[Array[Byte]](slabs)
+    var i = 0
+    while (i < slabs) {
+      hold(i) = new Array[Byte](slabMb << 20)
+      var off = 0
+      while (off < hold(i).length) { hold(i)(off) = 1; off += 4096 }
+      i += 1
+    }
+    // drop the refs; the OS pages stay committed to the heap
+    java.util.Arrays.fill(hold.asInstanceOf[Array[AnyRef]], null)
+    System.err.println(
+      f"[bench] heap-commit warmup: $gb GiB in ${(System.nanoTime - t0) / 1e9}%.1fs")
+  }
+
   private def session(cpus: Int, adaptive: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -194,6 +224,16 @@ object Bench {
       w.start()
     }
     try {
+      // heap-commit warmup (once per JVM, untimed): fault in the heap
+      // pages the drain will use WHILE the window is healthy (the gate
+      // just opened). Committed pages survive the host's page-delivery
+      // storms — first-touch measured 3 orders of magnitude slow mid-
+      // storm while already-faulted pages stayed full speed — so a storm
+      // arriving mid-sample then only taxes tmpfs writes, not every
+      // young-gen allocation. G1 keeps the commit across samples (it
+      // uncommits only at full GC / concurrent-cycle shrink, neither of
+      // which this workload triggers).
+      Bench.commitHeapOnce()
       // corpus-at-rest: read the pre-generated parquet when the bench
       // provides one (generation is corpus manufacturing, not crawl work
       // — inline it only costs the p1 level minutes of untimed warm-up
@@ -284,7 +324,10 @@ object Bench {
 
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5").toDouble
     val loadWaitBudget = // total seconds of gate-waiting across the bench
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "900").toLong
+      // 1800: page-delivery storms last tens of minutes (measured a
+      // ~35-min one); a budget shorter than one storm converts the whole
+      // bench into sentinel output when a storm spans the gate
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "1800").toLong
     var waitLeft = loadWaitBudget
     // external-load gauge: the INSTANTANEOUS runnable count from
     // /proc/loadavg field 4 ("R/total", minus this sampler). Unlike the
