@@ -25,29 +25,39 @@ object Bench {
   /** Fault in (commit) a slab of heap so later allocations reuse pages
     * instead of first-touching fresh ones mid-measurement — see the
     * page-storm notes at the load gate. Size via
-    * SPARK_GRAFT_BENCH_HEAP_COMMIT_GB (default 12; 0 disables). Runs
-    * once per JVM; ~12 s at healthy page delivery.
+    * SPARK_GRAFT_BENCH_HEAP_COMMIT_GB (default 12; 0 disables).
+    * ~12-20 s at healthy page delivery; BAILS after 120 s if a storm
+    * arrives mid-warmup (already-committed slabs keep their value, and
+    * the next healthy-gated call finishes the job). Call ONLY right
+    * after the load gate opens — never from inside a timed sample, and
+    * never during a storm (the fill loop is pure memory work the
+    * sample watchdog cannot interrupt).
     */
   private[graft] def commitHeapOnce(): Unit = synchronized {
     if (heapCommitted) return
-    heapCommitted = true
     val gb = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP_COMMIT_GB", "12").toInt
-    if (gb <= 0) return
+    if (gb <= 0) { heapCommitted = true; return }
     val t0 = System.nanoTime
+    val bailNanos = 120e9
     val slabMb = 256
     val slabs = gb * 1024 / slabMb
     val hold = new Array[Array[Byte]](slabs)
     var i = 0
-    while (i < slabs) {
+    var bailed = false
+    while (i < slabs && !bailed) {
       hold(i) = new Array[Byte](slabMb << 20)
       var off = 0
       while (off < hold(i).length) { hold(i)(off) = 1; off += 4096 }
       i += 1
+      bailed = (System.nanoTime - t0) > bailNanos
     }
     // drop the refs; the OS pages stay committed to the heap
     java.util.Arrays.fill(hold.asInstanceOf[Array[AnyRef]], null)
+    heapCommitted = !bailed
     System.err.println(
-      f"[bench] heap-commit warmup: $gb GiB in ${(System.nanoTime - t0) / 1e9}%.1fs")
+      f"[bench] heap-commit warmup: ${i * slabMb / 1024} GiB in " +
+        f"${(System.nanoTime - t0) / 1e9}%.1fs" +
+        (if (bailed) " (storm mid-warmup; will retry at next gate)" else ""))
   }
 
   private def session(cpus: Int, adaptive: Boolean = true): SparkSession = {
@@ -224,16 +234,6 @@ object Bench {
       w.start()
     }
     try {
-      // heap-commit warmup (once per JVM, untimed): fault in the heap
-      // pages the drain will use WHILE the window is healthy (the gate
-      // just opened). Committed pages survive the host's page-delivery
-      // storms — first-touch measured 3 orders of magnitude slow mid-
-      // storm while already-faulted pages stayed full speed — so a storm
-      // arriving mid-sample then only taxes tmpfs writes, not every
-      // young-gen allocation. G1 keeps the commit across samples (it
-      // uncommits only at full GC / concurrent-cycle shrink, neither of
-      // which this workload triggers).
-      Bench.commitHeapOnce()
       // corpus-at-rest: read the pre-generated parquet when the bench
       // provides one (generation is corpus manufacturing, not crawl work
       // — inline it only costs the p1 level minutes of untimed warm-up
@@ -431,7 +431,7 @@ object Bench {
     // ---- 1) query suite timings (gated like the crawl: comparable
     //      numbers round-over-round need a quiet machine) ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    if (!skipQueries) awaitQuiet()
+    if (!skipQueries) { awaitQuiet(); commitHeapOnce() }
     val spark = session(cpus)
     // untimed session warmup: JIT + codegen compiler + parquet footer
     // caches are session costs, not properties of whichever query sorts
@@ -571,6 +571,16 @@ object Bench {
     // never dies without printing it
     def gatedRun(p: Int): Option[(Long, Long, Double, Int)] = {
       awaitQuiet()
+      // fault the heap in NOW, while the gate says the window is
+      // healthy and before the sample's clock starts: committed pages
+      // survive the host's page-delivery storms — first-touch measured
+      // 3 orders of magnitude slow mid-storm while already-faulted
+      // pages stayed full speed — so a storm arriving mid-sample then
+      // taxes only tmpfs writes, not every young-gen allocation behind
+      // heap growth. One-shot per JVM; G1 keeps the commit (it
+      // uncommits only at full GC / concurrent-cycle shrink, neither of
+      // which this workload triggers).
+      commitHeapOnce()
       val busy = runnableNow()
       // once the level has a best wall, a sample exceeding 2.5x it (plus
       // untimed setup allowance — the watchdog clock starts at session
