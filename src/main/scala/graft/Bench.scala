@@ -581,6 +581,15 @@ object Bench {
       // uncommits only at full GC / concurrent-cycle shrink, neither of
       // which this workload triggers).
       commitHeapOnce()
+      // a BAILED warmup is itself a storm reading: the window closed
+      // between the gate and now. Re-gate rather than burn a sample on
+      // a known storm (each wasted sample costs ~2.5 min of watchdog
+      // probes before it aborts).
+      var warmupTries = 5 // bounded: oscillating gauges must not loop forever
+      while (!heapCommitted && waitLeft > 0 && warmupTries > 0) {
+        warmupTries -= 1
+        awaitQuiet(); commitHeapOnce()
+      }
       val busy = runnableNow()
       // once the level has a best wall, a sample exceeding 2.5x it (plus
       // untimed setup allowance — the watchdog clock starts at session
