@@ -604,8 +604,13 @@ object Bench {
         .map(best => math.min(2.5 * best + 180.0, absBound))
         .getOrElse(absBound)
       try {
+        // storm-abort is armed only while wait budget remains: once the
+        // gate can no longer hold for a clean window, a degraded sample
+        // with reported conditions beats a sentinel — the wall bound
+        // still caps the grind, and min-wall selection prefers whichever
+        // sample the storm hit least.
         val r = crawlRun(p, benchCorpus, maxBatches, Some(corpusDir), abortBound,
-          stormProbe = Some(() => pageRate()),
+          stormProbe = if (waitLeft > 0) Some(() => pageRate()) else None,
           stormAbortBelow = pageGate / 4)
         System.err.println(f"[bench] p$p sample wall ${r._3}%.1fs (ext_busy pre-run $busy)")
         Some((r._1, r._2, r._3, busy))
