@@ -322,6 +322,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // global deadline: the bench must ALWAYS print its JSON line in
+    // bounded time — on a day of back-to-back page storms the gate waits
+    // plus wall-bounded degraded samples can otherwise stack past any
+    // caller's patience (and a caller timeout means NO artifact at all,
+    // strictly worse than sentinels). Past the deadline: no new samples,
+    // report whatever exists.
+    val benchDeadlineNs = System.nanoTime +
+      (sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "5400").toDouble * 1e9).toLong
+    def deadlineLeftSecs: Double = (benchDeadlineNs - System.nanoTime) / 1e9
+
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5").toDouble
     val loadWaitBudget = // total seconds of gate-waiting across the bench
       // 1800: page-delivery storms last tens of minutes (measured a
@@ -417,7 +427,8 @@ object Bench {
       def degraded(st: Double, br: Double, pr: Double): Boolean =
         br < burnGate || pr < pageGate ||
           (st > stealGate && br < 1.3 * burnGate)
-      while ((b > loadGate || degraded(st, br, pr)) && waitLeft > 0) {
+      while ((b > loadGate || degraded(st, br, pr)) && waitLeft > 0 &&
+          deadlineLeftSecs > 0) {
         System.err.println(
           f"[bench] external runnable ~$b (gate $loadGate) steal $st%.1f%% " +
             f"(gate $stealGate%.1f) burn $br%.0f loops/s (gate $burnGate%.0f) " +
@@ -457,7 +468,7 @@ object Bench {
       // bad while we measured, take one gated re-run and keep the
       // per-query MIN — min is the noise-free estimator per query.
       var retries = 2
-      while (retries > 0 && waitLeft > 0 &&
+      while (retries > 0 && waitLeft > 0 && deadlineLeftSecs > 0 &&
           (burnRate() < burnGate || pageRate() < pageGate)) {
         retries -= 1
         System.err.println(
@@ -570,6 +581,12 @@ object Bench {
     // round gate is this process's single stdout JSON line, so the bench
     // never dies without printing it
     def gatedRun(p: Int): Option[(Long, Long, Double, Int)] = {
+      // no sample starts without enough deadline room to mean anything,
+      // and no sample may run past the deadline
+      if (deadlineLeftSecs < 180) {
+        System.err.println(f"[bench] p$p skipped: ${deadlineLeftSecs}%.0fs to deadline")
+        return None
+      }
       awaitQuiet()
       // fault the heap in NOW, while the gate says the window is
       // healthy and before the sample's clock starts: committed pages
@@ -600,9 +617,11 @@ object Bench {
       // unbounded when no best exists yet to compare against.
       val absBound =
         sys.env.getOrElse("SPARK_GRAFT_BENCH_ABORT_ABS", "1200").toDouble
-      val abortBound = samples(p).map(_._3).minOption
-        .map(best => math.min(2.5 * best + 180.0, absBound))
-        .getOrElse(absBound)
+      val abortBound = math.min(
+        samples(p).map(_._3).minOption
+          .map(best => math.min(2.5 * best + 180.0, absBound))
+          .getOrElse(absBound),
+        math.max(180.0, deadlineLeftSecs))
       try {
         // storm-abort is armed only while wait budget remains: once the
         // gate can no longer hold for a clean window, a degraded sample
@@ -650,7 +669,8 @@ object Bench {
       val hi = samples(pHi).map(_._3).min
       (lo / hi) / (pHi.toDouble / pLo)
     }
-    while (currentEff() < effTarget && extraPairs > 0 && waitLeft > 0) {
+    while (currentEff() < effTarget && extraPairs > 0 && waitLeft > 0 &&
+        deadlineLeftSecs > 0) {
       System.err.println(
         f"[bench] efficiency ${currentEff()}%.3f < $effTarget%.2f; extra interleaved pair ($extraPairs left)")
       extraPairs -= 1
