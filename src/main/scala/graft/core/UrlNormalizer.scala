@@ -32,25 +32,52 @@ object UrlNormalizer {
     if (rawUrl.isEmpty) return Left("normalize url: empty input")
     GoUrl.parse(rawUrl) match {
       case Left(e) => Left(s"normalize url: $e")
-      case Right(u) =>
-        if (u.scheme.isEmpty || u.host.isEmpty)
-          Left("normalize url: missing scheme or host")
-        else {
-          val originalScheme = u.scheme // parse already lowercased it
-          val upgraded = u.copy(
-            scheme = "https",
-            host = normalizeHost(u, originalScheme),
-            rawQuery = buildCleanQuery(GoUrl.parseQuery(u.rawQuery)),
-            path = normalizePath(u.path)
-          )
-          Right(GoUrl.render(upgraded))
-        }
+      case Right(u) => normalizeParsed(u)
     }
   }
+
+  /** The post-parse half of [[normalize]] — lets hot per-link paths that
+    * already hold the parsed URL skip a re-parse (identical semantics:
+    * the parse result fully determines the output).
+    */
+  def normalizeParsed(u: GoUrl.Url): Either[String, String] =
+    if (u.scheme.isEmpty || u.host.isEmpty)
+      Left("normalize url: missing scheme or host")
+    else {
+      val originalScheme = u.scheme // parse already lowercased it
+      val upgraded = u.copy(
+        scheme = "https",
+        host = normalizeHost(u, originalScheme),
+        rawQuery = buildCleanQuery(GoUrl.parseQuery(u.rawQuery)),
+        path = normalizePath(u.path)
+      )
+      Right(GoUrl.render(upgraded))
+    }
 
   /** reference: crawler/internal/frontier/normalize.go:75-84 */
   def urlHash(rawUrl: String): Either[String, String] =
     normalize(rawUrl).map(sha256Hex)
+
+  /** One-parse fusion of (normalize, urlHash, extractHost) for the
+    * per-link hot path: returns (normalized, sha256(normalized),
+    * raw-parse hostname lowercased) — exactly the triple the separate
+    * calls produce, failing iff any of them fails (all three share the
+    * same failure condition: unparseable input or empty scheme/host).
+    * The separate calls parse the SAME string three times and normalize
+    * it twice; at ~10^6 discovered links per micro-batch that repeat
+    * work dominated the submission stage's CPU.
+    */
+  def normalizeHashHost(rawUrl: String)
+      : Either[String, (String, String, String)] = {
+    if (rawUrl.isEmpty) return Left("normalize url: empty input")
+    GoUrl.parse(rawUrl) match {
+      case Left(e) => Left(s"normalize url: $e")
+      case Right(u) =>
+        normalizeParsed(u).map { norm =>
+          (norm, sha256Hex(norm), u.hostname.toLowerCase)
+        }
+    }
+  }
 
   /** reference: crawler/internal/frontier/normalize.go:87-102 */
   def extractHost(rawUrl: String): Either[String, String] = {
@@ -64,12 +91,28 @@ object UrlNormalizer {
     }
   }
 
+  // one digest instance per thread (getInstance walks the provider list
+  // per call) and table-driven hex: the previous per-byte f"%02x"
+  // allocated a java.util.Formatter per BYTE — at ~10^6 hashes per
+  // micro-batch that was ~3×10^7 formatter round-trips of pure overhead
+  // on the link/contentHash hot path.
+  @transient private lazy val sha256Local =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("SHA-256"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** reference: crawler/internal/frontier/normalize.go:116-132 */

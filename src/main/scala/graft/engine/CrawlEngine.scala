@@ -1380,24 +1380,41 @@ final class CrawlEngine(
     // ---- F3 link discovery → submissions ----
     val submissions: Dataset[SubRow] = resolved.flatMap { o =>
       if (o.outcome != "fetched" || o.links.isEmpty || o.claim.depth + 1 > maxDepth) Nil
-      else o.links.zipWithIndex.flatMap { case (href, li) =>
-        if (ContentUrl.shouldSkipLink(href)) None
-        else {
-          val abs = GoUrl.absoluteUrl(o.pageUrl, href)
-          if (abs.isEmpty) None
-          else if (preFilter && UrlFilter.shouldSkipUrl(abs)) None // B2 gate
-          else (UrlNormalizer.normalize(abs), UrlNormalizer.urlHash(abs),
-            UrlNormalizer.extractHost(abs)) match {
-            case (Right(u), Right(h), Right(host)) =>
-              val prio = Priorities.Default +
-                (if (ContentUrl.isContentUrl(abs)) Priorities.SpiderArticleBonus else 0)
-              // parent_url = the FINAL page the link was found on
-              // (colly rewrites e.Request.URL after redirects)
-              Some(SubRow(-o.claim.priority, o.claim.next_fetch_at,
-                o.claim.url_hash, li, Submission(u, h, host, o.claim.source_id,
-                  FrontierOrigin.Spider, Some(o.pageUrl), o.claim.depth + 1,
-                  prio, now)))
-            case _ => None
+      else {
+        // the page's base URL parses ONCE per page, not once per link
+        // (GoUrl.absoluteUrl re-parses it for every href)
+        val baseE = GoUrl.parse(o.pageUrl)
+        o.links.zipWithIndex.flatMap { case (href, li) =>
+          // inlined ContentUrl.shouldSkipLink, keeping the href parse for
+          // the resolve step: skip empty, unparseable, or
+          // non-http(s)-scheme links; relative (scheme-less) links pass
+          if (href.isEmpty) None
+          else GoUrl.parse(href) match {
+            case Left(_) => None
+            case Right(hu)
+                if hu.scheme.nonEmpty && hu.scheme != "http" &&
+                  hu.scheme != "https" => None
+            case Right(hu) =>
+              val abs = baseE match {
+                case Right(b) => GoUrl.render(GoUrl.resolveReference(b, hu))
+                case Left(_)  => ""
+              }
+              if (abs.isEmpty) None
+              else if (preFilter && UrlFilter.shouldSkipUrl(abs)) None // B2 gate
+              // one parse serves normalize + hash + host (the separate
+              // calls re-parsed `abs` three times and normalized twice)
+              else UrlNormalizer.normalizeHashHost(abs) match {
+                case Right((u, h, host)) =>
+                  val prio = Priorities.Default +
+                    (if (ContentUrl.isContentUrl(abs)) Priorities.SpiderArticleBonus else 0)
+                  // parent_url = the FINAL page the link was found on
+                  // (colly rewrites e.Request.URL after redirects)
+                  Some(SubRow(-o.claim.priority, o.claim.next_fetch_at,
+                    o.claim.url_hash, li, Submission(u, h, host, o.claim.source_id,
+                      FrontierOrigin.Spider, Some(o.pageUrl), o.claim.depth + 1,
+                      prio, now)))
+                case Left(_) => None
+              }
           }
         }
       }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the per-document MinHash signature.
@@ -98,9 +98,215 @@ case class MinhashSignatureExpr(child: Expression, shingleLen: Int, k: Int)
     copy(child = c)
 }
 
+/** Shared kernels for the vector-similarity expressions below. All of
+  * them replicate the exact declarative-HOF semantics they replace
+  * (TextOpsSpec asserts value equality against the HOF forms):
+  *
+  *   - round(x) / round(x, 6) is Spark's `Round` on DoubleType —
+  *     decimal-string HALF_UP via BigDecimal.valueOf — NOT Math.round
+  *     (they differ at negative .5 boundaries).
+  *   - the ±1 plane signs come from the parity of the portable 60-bit
+  *     hash conv(substr(md5(salt),1,15),16,10), identical to the DuckDB
+  *     oracle's CAST('0x'||substr(md5(salt),1,15) AS BIGINT) % 2.
+  */
+private[functions] object VectorKernels {
+  /** HALF_UP rounding of a double at `scale` decimals, as Spark's Round. */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Parity bit of the portable 60-bit md5 hash of an ASCII salt: the
+    * 60-bit value's low bit is bit 4 of digest byte 7.
+    */
+  def saltSign(md: java.security.MessageDigest, salt: String): Long = {
+    md.reset()
+    val d = md.digest(salt.getBytes("US-ASCII"))
+    if (((d(7) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  /** Cosine over two double ArrayData — see [[CosineSimExpr]] for the
+    * exact null/length/zero-norm conventions it replicates.
+    */
+  def cosine(l: ArrayData, r: ArrayData): Double = {
+    val n = l.numElements()
+    if (r.numElements() != n) return -1.0 // zip_with pads → null → -1.0
+    var dot = 0.0
+    var sl = 0.0
+    var sr = 0.0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return -1.0 // null elem → null → -1.0
+      val x = l.getDouble(i)
+      val y = r.getDouble(i)
+      dot += x * y
+      sl += x * x
+      sr += y * y
+      i += 1
+    }
+    val denom = math.sqrt(sl) * math.sqrt(sr)
+    if (denom == 0.0) -1.0 else dot / denom // try_divide(_, 0) → null → -1.0
+  }
+}
+
+/** Cosine similarity of two double arrays — the codegen'd form of
+  * TextOps.cosineSql's HOF pipeline. Returns NULL only when an input
+  * array is NULL (callers coalesce to -1.0, as the HOF form does);
+  * length mismatch, a null element, or a zero-norm side all yield -1.0
+  * directly — exactly what zip_with's null-padding / null propagation /
+  * try_divide produce through the HOF pipeline's outer coalesce(-1.0).
+  * Accumulation order matches aggregate()'s left fold, so the IEEE
+  * result is bit-identical.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ref = ctx.addReferenceObj("cosineExpr", this,
+        classOf[CosineSimExpr].getName)
+      s"${ev.value} = $ref.kernel($l, $r);"
+    })
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  final def kernel(l: ArrayData, r: ArrayData): Double =
+    VectorKernels.cosine(l, r)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CosineSimExpr = copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH buckets as ONE native per-row call — the
+  * codegen'd form of the nested zip_with/aggregate HOF pipeline in
+  * TextOps.lshBuckets / annLshTopK (which interprets tables×planes×dim
+  * boxed lambda steps per row). Element t of the result = table t's
+  * bucket: Σ_p [dot(t,p) > 0] · 2^p with
+  * dot(t,p) = Σ_d cast(round(cast(x_d as double) · 2^20) as bigint) · s(t,p,d),
+  * s from the parity of md5("t:p:d") (tableSalt) or md5("p:d"). The
+  * quantization is per (row, d) — computed once and reused across all
+  * (t,p), which the HOF form recomputes 32×. Exact integer dots ⇒
+  * evaluation-order-independent, identical to the oracle.
+  */
+case class LshBucketsExpr(child: Expression, tables: Int, planes: Int,
+    dim: Int, tableSalt: Boolean) extends UnaryExpression {
+  require(tables >= 1 && planes >= 1 && planes <= 63 && dim >= 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  // signs(t)(p)(d), built once per task from the deterministic salts
+  @transient private lazy val signs: Array[Array[Array[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, planes, dim) { (t, p, d) =>
+      val salt = if (tableSalt) s"$t:$p:$d" else s"$p:$d"
+      VectorKernels.saltSign(md, salt)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("lshExpr", this,
+        classOf[LshBucketsExpr].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  final def kernel(v: ArrayData): ArrayData = {
+    // quantize once per dimension (the HOF recomputes per (t, p, d))
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      q(d) = VectorKernels
+        .roundHalfUp(v.getFloat(d).toDouble * 1048576.0, 0).toLong
+      d += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val st = signs(t)
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val sp = st(p)
+        var dot = 0L
+        var i = 0
+        while (i < dim) { dot += q(i) * sp(i); i += 1 }
+        if (dot > 0L) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucketsExpr =
+    copy(child = c)
+}
+
+/** IVF list assignment: argmax over the broadcast codebook of the
+  * 6-dp-rounded cosine, ties (and the all-(-1) zero-norm case) to the
+  * LOWEST cid — the native form of TextOps.ivfTopK's per-row
+  * aggregate-over-codebook HOF (seed (cid=-1, c=-2.0), strict `>` over
+  * the cid-ascending scan). `cb` is the sort_array'd
+  * array<struct<cid:bigint, cv:array<double>>> codebook column.
+  */
+case class IvfAssignExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivf_assign"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val ref = ctx.addReferenceObj("ivfExpr", this,
+        classOf[IvfAssignExpr].getName)
+      s"${ev.value} = $ref.kernel($v, $cb);"
+    })
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    kernel(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  final def kernel(v: ArrayData, cb: ArrayData): Long = {
+    var bestCid = -1L
+    var bestC = -2.0
+    val n = cb.numElements()
+    var i = 0
+    while (i < n) {
+      val ce = cb.getStruct(i, 2)
+      val c = VectorKernels.roundHalfUp(
+        VectorKernels.cosine(v, ce.getArray(1)), 6)
+      if (c > bestC) { bestC = c; bestCid = ce.getLong(0) }
+      i += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : IvfAssignExpr = copy(left = l, right = r)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def minhash_signature(text: Column, shingleLen: Int, k: Int): Column =
     column(MinhashSignatureExpr(expression(text), shingleLen, k))
+
+  /** Cosine over array<double> (NULL input → NULL; callers coalesce). */
+  def cosine_sim(l: Column, r: Column): Column =
+    column(CosineSimExpr(expression(l), expression(r)))
+
+  /** Per-table LSH buckets over a raw array<float> embedding. */
+  def lsh_buckets(emb: Column, tables: Int, planes: Int, dim: Int,
+      tableSalt: Boolean): Column =
+    column(LshBucketsExpr(expression(emb), tables, planes, dim, tableSalt))
+
+  /** IVF argmax-cosine list id for array<double> v against the codebook. */
+  def ivf_assign(v: Column, cb: Column): Column =
+    column(IvfAssignExpr(expression(v), expression(cb)))
 }

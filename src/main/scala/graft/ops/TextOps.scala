@@ -271,15 +271,14 @@ object TextOps {
     // cid -1 row).
     val cbDf = cents.groupBy()
       .agg(expr("sort_array(collect_list(struct(cid, cv)))").as("cb"))
-    val assignCid = expr(
-      s"""aggregate(
-            transform(cb, ce -> named_struct('cid', ce.cid,
-              'c', round(${cosineSql("v", "ce.cv")}, 6))),
-            named_struct('cid', cast(-1 as bigint), 'c', cast(-2.0 as double)),
-            (best, ce2) -> CASE WHEN ce2.c > best.c THEN ce2 ELSE best END
-          ).cid""")
+    // native argmax over the codebook (IvfAssignExpr): the same rounded
+    // cosines, seed and strict-> tie-break as the aggregate-HOF form it
+    // replaces — one codegen'd loop instead of |codebook| interpreted
+    // lambda frames (each with 3 inner HOF passes) per corpus row
     val lists = v.crossJoin(broadcast(cbDf))
-      .select(col("vec_id"), col("v"), assignCid.as("cid"))
+      .select(col("vec_id"), col("v"),
+        graft.functions.TextExpressions.ivf_assign(col("v"), col("cb"))
+          .as("cid"))
     // each query probes its nprobe best centroids
     val probeW = w.partitionBy(col("qid")).orderBy(desc("qcos"), asc("cid"))
     val probes = v.filter(col("vec_id").isin(queryIds: _*))
@@ -330,12 +329,12 @@ object TextOps {
       .filter(col("cos") >= threshold)
   }
 
-  /** Cosine similarity of two double arrays (codegen'd higher-order fns).
-    * SQL-string form so it can be spliced inside an enclosing lambda
-    * (ivfTopK's per-row codebook argmax); lambda vars are chosen not to
-    * collide with enclosing ones there.
+  /** Cosine similarity of two double arrays — declarative HOF form,
+    * kept as the executable documentation / cross-check oracle of the
+    * native CosineSimExpr kernel (TextOpsSpec asserts equality; the
+    * DuckDB oracle mirrors these exact semantics).
     */
-  private def cosineSql(l: String, r: String): String =
+  private[graft] def cosineSql(l: String, r: String): String =
     // try_divide + coalesce(-1): a zero-norm side must not throw under
     // ANSI mode (plain `/` raises DIVIDE_BY_ZERO in Spark 4) and must
     // yield EXACTLY what DuckDB's list_cosine_similarity yields for a
@@ -348,7 +347,17 @@ object TextOps {
          * sqrt(aggregate($r, cast(0.0 as double), (acc, v) -> acc + v * v))),
         cast(-1.0 as double))"""
 
-  private def cosineExpr(l: String, r: String): Column = expr(cosineSql(l, r))
+  /** Native (whole-stage-codegen) cosine with the HOF form's -1.0
+    * conventions: the kernel yields -1.0 for zero-norm / ragged / null
+    * elements; a NULL input array (→ NULL through the whole HOF
+    * pipeline's try_divide) falls to the same -1.0 via the coalesce —
+    * exactly the declarative [[cosineSql]]. The HOF form interpreted
+    * 3 boxed lambda passes per pair (zip_with + two aggregates, ~dim
+    * allocations each); this is one arithmetic loop per pair.
+    */
+  private def cosineExpr(l: String, r: String): Column =
+    coalesce(graft.functions.TextExpressions.cosine_sim(col(l), col(r)),
+      lit(-1.0))
 
   /** Brute-force cosine top-k neighbours for a set of query vectors —
     * the exactness baseline. Queries are broadcast against the corpus
@@ -400,27 +409,18 @@ object TextOps {
   def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
     val dim = headDim(embeddings).getOrElse(
       return embeddings.select(col("vec_id"), lit(0L).as("bucket")).limit(0))
-    // The ±1 plane matrix depends only on (p, d) — derive the md5 signs
-    // ONCE in a 1-row broadcast frame instead of per vector (planes×dim
-    // md5s total, not per row; the per-row work is pure integer dots).
-    val wDf = embeddings.sparkSession.range(1).select(expr(
-      s"""transform(sequence(0, ${planes - 1}), p ->
-            transform(sequence(0, $dim - 1), d ->
-              CASE WHEN cast(conv(substring(md5(concat(p, ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0
-                   THEN cast(1 as bigint) ELSE cast(-1 as bigint) END))""").as("w"))
+    // ONE native per-row call (LshBucketsExpr) replaces the broadcast
+    // sign-matrix crossJoin + nested zip_with/aggregate HOF pipeline:
+    // identical signs (md5("p:d") parity), identical quantized integer
+    // dots — but codegen'd arithmetic instead of planes×dim interpreted
+    // boxed lambda steps per row, and one plan node fewer (no join).
     embeddings
       .filter(size(col("embedding")) > 0) // explode-form semantics kept
       .filter(dimGuard("lshBuckets", dim))
-      .crossJoin(broadcast(wDf))
-      .select(col("vec_id"), expr(
-        s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
-              acc + CASE WHEN
-                aggregate(
-                  zip_with(embedding, w[p], (x, s) ->
-                    cast(round(cast(x as double) * 1048576) as bigint) * s),
-                  cast(0 as bigint), (a, v) -> a + v) > 0
-              THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)""")
-        .as("bucket"))
+      .select(col("vec_id"),
+        graft.functions.TextExpressions
+          .lsh_buckets(col("embedding"), 1, planes, dim, tableSalt = false)
+          .getItem(0).as("bucket"))
   }
 
   /** ANN top-k over the LSH buckets — the query path the buckets exist
@@ -438,24 +438,13 @@ object TextOps {
     val dim = headDim(embeddings).getOrElse(
       return embeddings.select(col("vec_id").as("qid"), lit(0).as("rn"),
         col("vec_id"), lit(0.0).as("cos")).limit(0))
-    val wDf = embeddings.sparkSession.range(1).select(expr(
-      s"""transform(sequence(0, ${tables - 1}), t ->
-            transform(sequence(0, ${planes - 1}), p ->
-              transform(sequence(0, $dim - 1), d ->
-                CASE WHEN cast(conv(substring(md5(concat(t, ':', p, ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0
-                     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END)))""").as("w"))
-    val bucketArr = expr(
-      s"""transform(sequence(0, ${tables - 1}), t ->
-            aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
-              acc + CASE WHEN
-                aggregate(
-                  zip_with(embedding, w[t][p], (x, s) ->
-                    cast(round(cast(x as double) * 1048576) as bigint) * s),
-                  cast(0 as bigint), (a, z) -> a + z) > 0
-              THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""")
+    // native per-row bucket array (salted md5("t:p:d") signs), identical
+    // to the former broadcast-matrix + nested-HOF pipeline — see
+    // [[lshBuckets]] for the rationale
+    val bucketArr = graft.functions.TextExpressions
+      .lsh_buckets(col("embedding"), tables, planes, dim, tableSalt = true)
     val emb = embeddings.filter(size(col("embedding")) > 0)
       .filter(dimGuard("annLshTopK", dim))
-      .crossJoin(broadcast(wDf))
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"),
         posexplode(bucketArr))

@@ -64,6 +64,96 @@ class TextOpsSpec extends AnyFunSuite {
     assert(native == sql)
   }
 
+  test("native vector expressions ≡ declarative HOF forms (cosine, LSH buckets, IVF assign)") {
+    import graft.functions.TextExpressions
+    // deterministic vectors exercising the edge semantics: negatives,
+    // exact .5 quantization boundaries ((2k+1)/2^21 is float-exact, where
+    // HALF_UP and Math.round diverge for negatives), zero vectors, and a
+    // mix of magnitudes
+    def vec(seed: Long, dim: Int): Seq[Float] = Seq.tabulate(dim) { d =>
+      val h = (seed * 31 + d) * 2654435761L
+      (h % 7) match {
+        case 0 => (2 * (h % 11) + 1) / 2097152.0f // +.5 boundary
+        case 1 | -1 => -(2 * (math.abs(h) % 11) + 1) / 2097152.0f // -.5 boundary
+        case _ => ((h % 1000) / 500.0f) - 1.0f
+      }
+    }
+    val emb = (0L until 40L).map { i =>
+      (i, if (i == 7) Seq.fill(16)(0.0f) else vec(i, 16)) // incl. zero-norm
+    }.toDF("vec_id", "embedding")
+    val v2 = emb.select($"vec_id",
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+    // cosine: native kernel vs the declarative try_divide pipeline
+    val pairs = v2.as("a").crossJoin(v2.as("b"))
+      .select($"a.vec_id".as("ai"), $"b.vec_id".as("bi"),
+        round(coalesce(TextExpressions.cosine_sim($"a.v", $"b.v"), lit(-1.0)), 6)
+          .as("nat"),
+        round(expr(TextOps.cosineSql("a.v", "b.v")), 6).as("decl"))
+    assert(pairs.filter($"nat" =!= $"decl").count() == 0)
+
+    // LSH buckets: native vs the broadcast-sign-matrix HOF form, both
+    // salt modes (single-table "p:d" and per-table "t:p:d")
+    val dim = 16; val tables = 3; val planes = 5
+    val wT = spark.range(1).select(expr(
+      s"""transform(sequence(0, ${tables - 1}), t ->
+            transform(sequence(0, ${planes - 1}), p ->
+              transform(sequence(0, $dim - 1), d ->
+                CASE WHEN cast(conv(substring(md5(concat(t, ':', p, ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0
+                     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END)))""").as("w"))
+    val hofT = emb.crossJoin(broadcast(wT)).select($"vec_id", expr(
+      s"""transform(sequence(0, ${tables - 1}), t ->
+            aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+              acc + CASE WHEN
+                aggregate(
+                  zip_with(embedding, w[t][p], (x, s) ->
+                    cast(round(cast(x as double) * 1048576) as bigint) * s),
+                  cast(0 as bigint), (a, z) -> a + z) > 0
+              THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))""")
+      .as("b")).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val natT = emb.select($"vec_id",
+      TextExpressions.lsh_buckets($"embedding", tables, planes, dim, tableSalt = true)
+        .as("b")).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(natT == hofT)
+    val w1 = spark.range(1).select(expr(
+      s"""transform(sequence(0, ${planes - 1}), p ->
+            transform(sequence(0, $dim - 1), d ->
+              CASE WHEN cast(conv(substring(md5(concat(p, ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0
+                   THEN cast(1 as bigint) ELSE cast(-1 as bigint) END))""").as("w"))
+    val hof1 = emb.crossJoin(broadcast(w1)).select($"vec_id", expr(
+      s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, p) ->
+            acc + CASE WHEN
+              aggregate(
+                zip_with(embedding, w[p], (x, s) ->
+                  cast(round(cast(x as double) * 1048576) as bigint) * s),
+                cast(0 as bigint), (a, v) -> a + v) > 0
+            THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)""")
+      .as("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat1 = emb.select($"vec_id",
+      TextExpressions.lsh_buckets($"embedding", 1, planes, dim, tableSalt = false)
+        .getItem(0).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat1 == hof1)
+
+    // IVF assignment: native argmax vs the aggregate-HOF form (zero-norm
+    // row included: all-(-1) ties must resolve to the lowest cid)
+    val cents = v2.filter($"vec_id" < 6)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val cb = cents.groupBy().agg(expr("sort_array(collect_list(struct(cid, cv)))").as("cb"))
+    val hofAssign = v2.crossJoin(broadcast(cb)).select($"vec_id", expr(
+      s"""aggregate(
+            transform(cb, ce -> named_struct('cid', ce.cid,
+              'c', round(${TextOps.cosineSql("v", "ce.cv")}, 6))),
+            named_struct('cid', cast(-1 as bigint), 'c', cast(-2.0 as double)),
+            (best, ce2) -> CASE WHEN ce2.c > best.c THEN ce2 ELSE best END
+          ).cid""").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natAssign = v2.crossJoin(broadcast(cb)).select($"vec_id",
+      TextExpressions.ivf_assign($"v", $"cb").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(natAssign == hofAssign)
+  }
+
   test("minhash LSH pairs surface the exact and near duplicates") {
     val pairs = TextOps.minhashLshPairs(docs, 8, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
