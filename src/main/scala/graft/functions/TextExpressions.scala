@@ -98,6 +98,135 @@ case class MinhashSignatureExpr(child: Expression, shingleLen: Int, k: Int)
     copy(child = c)
 }
 
+/** Word k-shingles of a text column — the native form of the
+  * declarative HOF
+  * `transform(sequence(0, greatest(size(split(text,' '))-k, 0)),
+  *            i -> concat_ws(' ', slice(split(text,' '), i+1, k)))`
+  * (the exact loop MinhashSignatureExpr runs before hashing, emitting
+  * the shingle strings instead). One JVM call per row replaces ~|tokens|
+  * interpreted lambda frames each allocating a slice array; measured as
+  * the dominant cost of the n-gram Jaccard explode.
+  */
+case class ShinglesExpr(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+  require(shingleLen >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shinglesExpr", this,
+        classOf[ShinglesExpr].getName)
+      s"${ev.value} = $ref.evalText($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  final def evalText(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1) // Spark split keeps empties
+    val n = toks.length
+    val nSh = math.max(n - shingleLen, 0) + 1
+    val out = new Array[AnyRef](nSh)
+    var i = 0
+    while (i < nSh) {
+      val end = math.min(i + shingleLen, n)
+      val sb = new java.lang.StringBuilder
+      var t = i
+      while (t < end) {
+        if (t > i) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
+}
+
+/** The graft interleaved span shape of a text column — native form of
+  * the declarative HOF (see TextOps.spanizeSql, asserted equal in
+  * TextOpsSpec):
+  * {{{
+  *   transform(split(text, ' '), (tok, i) -> named_struct(
+  *     'kind',      i % 3 = 2 ? 'media' : 'text',
+  *     'text',      i % 3 = 2 ? ''      : tok,
+  *     'media_ref', i % 3 = 2 ? concat('asset://', md5(tok)) : '',
+  *     'offset',    i))
+  * }}}
+  * One JVM call per row replaces |tokens| interpreted lambda frames each
+  * building a 4-field struct through boxed CASE evaluation (with an
+  * interpreted md5→hex round-trip for every media token).
+  */
+case class SpanizeExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("media_ref", StringType, nullable = false),
+      StructField("offset", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "spanize"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  private val kindText = UTF8String.fromString("text")
+  private val kindMedia = UTF8String.fromString("media")
+  private val emptyStr = UTF8String.fromString("")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("spanizeExpr", this,
+        classOf[SpanizeExpr].getName)
+      s"${ev.value} = $ref.evalText($c);"
+    })
+
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  final def evalText(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1) // Spark split keeps empties
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val row = new Array[Any](4)
+      if (i % 3 == 2) {
+        md.reset()
+        val d = md.digest(toks(i).getBytes("UTF-8"))
+        val hex = new Array[Char](40)
+        "asset://".getChars(0, 8, hex, 0)
+        var b = 0
+        while (b < 16) {
+          hex(8 + 2 * b) = VectorKernels.hexChars((d(b) >> 4) & 0xf)
+          hex(9 + 2 * b) = VectorKernels.hexChars(d(b) & 0xf)
+          b += 1
+        }
+        row(0) = kindMedia
+        row(1) = emptyStr
+        row(2) = UTF8String.fromString(new String(hex, 0, 40))
+      } else {
+        row(0) = kindText
+        row(1) = UTF8String.fromString(toks(i))
+        row(2) = emptyStr
+      }
+      row(3) = i
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanizeExpr =
+    copy(child = c)
+}
+
 /** Shared kernels for the vector-similarity expressions below. All of
   * them replicate the exact declarative-HOF semantics they replace
   * (TextOpsSpec asserts value equality against the HOF forms):
@@ -110,6 +239,8 @@ case class MinhashSignatureExpr(child: Expression, shingleLen: Int, k: Int)
   *     oracle's CAST('0x'||substr(md5(salt),1,15) AS BIGINT) % 2.
   */
 private[functions] object VectorKernels {
+  val hexChars: Array[Char] = "0123456789abcdef".toCharArray
+
   /** HALF_UP rounding of a double at `scale` decimals, as Spark's Round. */
   def roundHalfUp(x: Double, scale: Int): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
@@ -296,6 +427,14 @@ object TextExpressions {
 
   def minhash_signature(text: Column, shingleLen: Int, k: Int): Column =
     column(MinhashSignatureExpr(expression(text), shingleLen, k))
+
+  /** Word k-shingle array of a text column (native). */
+  def word_shingles(text: Column, shingleLen: Int): Column =
+    column(ShinglesExpr(expression(text), shingleLen))
+
+  /** Interleaved span array of a text column (native). */
+  def spanize(text: Column): Column =
+    column(SpanizeExpr(expression(text)))
 
   /** Cosine over array<double> (NULL input → NULL; callers coalesce). */
   def cosine_sim(l: Column, r: Column): Column =

@@ -33,14 +33,19 @@ object TextOps {
   def spanize(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      expr(
-        """transform(split(text, ' '), (tok, i) ->
-             named_struct(
-               'kind', CASE WHEN i % 3 = 2 THEN 'media' ELSE 'text' END,
-               'text', CASE WHEN i % 3 = 2 THEN '' ELSE tok END,
-               'media_ref', CASE WHEN i % 3 = 2
-                 THEN concat('asset://', md5(tok)) ELSE '' END,
-               'offset', i))""").as("spans"))
+      graft.functions.TextExpressions.spanize(col("text")).as("spans"))
+
+  /** Declarative HOF form of [[spanize]]'s span array, kept as the
+    * executable cross-check oracle of the native SpanizeExpr.
+    */
+  private[graft] def spanizeSql: String =
+    """transform(split(text, ' '), (tok, i) ->
+         named_struct(
+           'kind', CASE WHEN i % 3 = 2 THEN 'media' ELSE 'text' END,
+           'text', CASE WHEN i % 3 = 2 THEN '' ELSE tok END,
+           'media_ref', CASE WHEN i % 3 = 2
+             THEN concat('asset://', md5(tok)) ELSE '' END,
+           'offset', i))"""
 
   /** Ordered flattening of spans (posexplode keeps the order column). */
   def flattenSpans(spanned: DataFrame): DataFrame =
@@ -68,11 +73,20 @@ object TextOps {
       .select(col("doc_id"), col("dup_count"))
   }
 
-  /** Word k-shingles of the document text. */
+  /** Word k-shingles of the document text (native ShinglesExpr; the
+    * declarative HOF it replaces — asserted equal in TextOpsSpec — is
+    * [[shinglesSql]]).
+    */
   def shingles(text: Column, k: Int): Column =
-    expr(s"""transform(
+    graft.functions.TextExpressions.word_shingles(text, k)
+
+  /** Declarative HOF form of [[shingles]], kept as the executable
+    * cross-check oracle of the native expression.
+    */
+  private[graft] def shinglesSql(k: Int): String =
+    s"""transform(
         sequence(0, greatest(size(split(text, ' ')) - $k, 0)),
-        i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))""")
+        i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))"""
 
   /** SQL-HOF "let": bind an expensive per-row expression ONCE under a
     * lambda variable. `transform(array(v), x -> body)[0]` is the only way
@@ -193,16 +207,19 @@ object TextOps {
       maxDocFreq: Long = 10000L): DataFrame = {
     val sh = docs
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(shingles(col("text"), n)).as("sh")).distinct()
+        explode(shingles(col("text"), n)).as("sh"))
     // pairs per shared shingle WITHOUT a self-join (which would evaluate
     // the shingle pipeline twice and shuffle both sides): group each
-    // (lang, source, shingle) into its sorted doc list and emit the
-    // in-group (a < b) pairs — |shared shingles| rows per pair, counted.
-    // ONE shuffle builds the groups; sizes re-derive from the (small)
-    // grouped lists instead of a second pass over the shingle explode.
+    // (lang, source, shingle) into its sorted DISTINCT doc list and emit
+    // the in-group (a < b) pairs — |shared shingles| rows per pair,
+    // counted. ONE shuffle builds the groups — collect_set dedups
+    // (doc_id, shingle) repeats inside the aggregation itself, replacing
+    // the former separate .distinct() pass (which shuffled the whole
+    // shingle explode a second time on a 4-column key). Sizes re-derive
+    // from the (small) grouped lists instead of a second explode pass.
     val grouped = sh
       .groupBy(col("lang"), col("source"), col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxDocFreq) // stop-shingle cut
       // materialize ONCE: three consumers read the grouped set (the pair
       // emitter + the sizes side of both joins), and their slightly

@@ -64,6 +64,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(native == sql)
   }
 
+  test("native shingles expression ≡ declarative HOF form (incl. edge docs)") {
+    val edge = Seq(
+      (10L, "", "en", "s0", 0L), // empty text → one empty-token shingle
+      (11L, "one", "en", "s0", 3L), // fewer tokens than shingle length
+      (12L, "a b", "en", "s0", 3L),
+      (13L, "trailing space ", "en", "s0", 15L), // trailing empty token
+      (14L, "naïve café déjà-vu unicode ünïcode test", "fr", "s0", 39L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val both = docs.unionByName(edge)
+    for (k <- Seq(1, 3, 5)) {
+      val native = both.select($"doc_id", TextOps.shingles($"text", k).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val sql = both.select($"doc_id", expr(TextOps.shinglesSql(k)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == sql, s"k=$k")
+    }
+  }
+
+  test("native spanize expression ≡ declarative HOF form (incl. edge docs)") {
+    val edge = Seq(
+      (10L, "", "en", "s0", 0L),
+      (11L, "one two three four five six seven", "en", "s0", 33L),
+      (13L, "trailing space ", "en", "s0", 15L),
+      (14L, "naïve café déjà-vu unicode ünïcode test", "fr", "s0", 39L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val both = docs.unionByName(edge)
+    val native = TextOps.flattenSpans(TextOps.spanize(both))
+      .orderBy("doc_id", "offset").collect().map(_.toSeq).toSeq
+    val sql = TextOps.flattenSpans(
+        both.select($"doc_id", expr(TextOps.spanizeSql).as("spans")))
+      .orderBy("doc_id", "offset").collect().map(_.toSeq).toSeq
+    assert(native == sql)
+  }
+
   test("native vector expressions ≡ declarative HOF forms (cosine, LSH buckets, IVF assign)") {
     import graft.functions.TextExpressions
     // deterministic vectors exercising the edge semantics: negatives,
