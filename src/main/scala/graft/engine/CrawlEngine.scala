@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.core._
 import graft.state.SnapshotStore
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.SeenFilter
 import scala.jdk.CollectionConverters._
@@ -86,7 +86,17 @@ private[engine] final case class Resolved(
     docId: String, // "" = no doc indexed
     spans: Seq[Span],
     links: Seq[String],
-    pageUrl: String // final page canonical URL (base for link resolution)
+    pageUrl: String, // final page canonical URL (base for link resolution)
+    /** Broadcast-corpus re-probe key (optimization r6): when the fetch
+      * runs off the corpus broadcast, the persisted cache stores this
+      * key with EMPTY spans/links — the two consumers that need page
+      * payloads (docs sink, link discovery) binary-search the broadcast
+      * again instead of the cache columnar-encoding every span struct
+      * and href of every fetched page per batch (guide §8: cache the
+      * lightweight proxy, move heavy bytes once). "" = payloads inline
+      * (the co-partitioned-join fallback path).
+      */
+    lookupHash: String = ""
 )
 
 private[engine] final case class SubFirst(
@@ -887,7 +897,8 @@ final class CrawlEngine(
     }
     val subAgg = aggregateSubmissions(subs).persist()
     val delta = subAgg.select("bucket").distinct().as[Int].collect().toSet
-    val merged = mergeSubmissions(spark.emptyDataset[(FrontierUrl, String)],
+    val merged = mergeSubmissions(
+      spark.emptyDataset[(FrontierUrl, String)].toDF(),
       subAgg, spark.emptyDataset[(Int, String)], None, math.max(1, delta.size))
     writeBuckets(merged.select($"_1.*", $"_2".as("mtag")), delta, 0L,
       repartitionFirst = false)
@@ -1155,9 +1166,11 @@ final class CrawlEngine(
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val claimLogF = Future(timed("claim_log") {
-      claims.map { r =>
-        ClaimLogEntry(bid, r.url_hash, r.url, r.host, r.priority, r.next_fetch_at)
-      }.toDF().write.mode("overwrite")
+      // column projection, not a typed map: same ClaimLogEntry shape with
+      // zero per-row object round-trips (optimization r6, guide §4.1)
+      claims.toDF().select(lit(bid).as("batch_id"), $"url_hash", $"url",
+          $"host", $"priority", $"next_fetch_at")
+        .write.mode("overwrite")
         .parquet(store.dataPath(s"claim_log_v$bid"))
     })
 
@@ -1264,6 +1277,9 @@ final class CrawlEngine(
     }
 
     // ---- X4-X6 outcome dispatch ----
+    // `slim`: with the corpus broadcast available, the cache stores the
+    // re-probe key instead of the page payloads (see Resolved.lookupHash)
+    val slim = pagesLookupBc.isDefined
     val resolved: Dataset[Resolved] = fetchStates.map { s =>
       val r = s.claim
       if (s.failReason == CrawlDefaults.ReasonRobotsBlocked)
@@ -1286,8 +1302,13 @@ final class CrawlEngine(
             else {
               val contentHash = UrlNormalizer.sha256Hex(
                 p.spans.filter(_.kind == "text").map(_.text).mkString("\n"))
-              Resolved(r, "fetched", "", p.url, contentHash,
-                UrlNormalizer.sha256Hex(r.url), p.spans, p.links, p.url)
+              if (slim)
+                Resolved(r, "fetched", "", p.url, contentHash,
+                  UrlNormalizer.sha256Hex(r.url), Nil, Nil, p.url,
+                  s.lookupHash)
+              else
+                Resolved(r, "fetched", "", p.url, contentHash,
+                  UrlNormalizer.sha256Hex(r.url), p.spans, p.links, p.url)
             }
           case 304 =>
             Resolved(r, "fetched", "", p.url, "", "", Nil, Nil, p.url)
@@ -1304,18 +1325,32 @@ final class CrawlEngine(
     }.persist()
 
     // ---- X7 final-URL re-key candidates (23505 semantics) ----
-    val rekeyCandidates: Dataset[RekeyCandidate] = resolved.flatMap { o =>
-      if (o.outcome != "fetched" || o.finalUrl.isEmpty) None
-      else (UrlNormalizer.normalize(o.finalUrl), UrlNormalizer.normalize(o.claim.url)) match {
-        case (Right(f), Right(c)) if f != c =>
-          val nh = UrlNormalizer.sha256Hex(f)
-          val host = UrlNormalizer.extractHost(f).getOrElse(o.claim.host)
-          Some(RekeyCandidate(-o.claim.priority, o.claim.next_fetch_at,
-            o.claim.url_hash, o.claim.bucket, f, nh, host,
-            (MurmurHash3.stringHash(host) & 0x7fffffff) % nb))
-        case _ => None
-      }
-    }
+    // Column-form over the pruned resolved cache (optimization r6): the
+    // native URL expressions replace the per-row flatMap (which
+    // deserialized every Resolved and re-normalized two URLs per fetched
+    // row). `claim.url` is INVARIANTLY already normalized — every
+    // frontier row enters through UrlNormalizer (seeds, submissions,
+    // accepted re-keys) — so the old `normalize(claim.url)` was the
+    // identity and the candidate test reduces to
+    // normalize(finalUrl) != claim.url (CrawlParitySpec's
+    // collision-heavy scenario pins the equivalence). sha2(,256) is
+    // byte-identical to UrlNormalizer.sha256Hex.
+    val rekeyCandidates: DataFrame = resolved.toDF()
+      .filter($"outcome" === "fetched" && $"finalUrl" =!= "")
+      .select((-$"claim.priority").as("negPrio"),
+        $"claim.next_fetch_at".as("nfa"), $"claim.url_hash".as("oldHash"),
+        $"claim.bucket".as("oldBucket"), $"claim.url".as("claimUrl"),
+        $"claim.host".as("claimHost"),
+        graft.functions.UrlExpressions.normalize_url_native($"finalUrl")
+          .as("newUrl"))
+      .filter($"newUrl".isNotNull && $"newUrl" =!= $"claimUrl")
+      .select($"negPrio", $"nfa", $"oldHash", $"oldBucket", $"newUrl",
+        sha2($"newUrl", 256).as("newHash"),
+        coalesce(
+          graft.functions.UrlExpressions.extract_host_native($"newUrl"),
+          $"claimHost").as("newHost"))
+      .withColumn("newBucket",
+        graft.functions.UrlExpressions.host_bucket($"newHost", nb))
     // ONE action materializes the resolved cache AND returns the buckets
     // candidate hashes can live in (url_hash → host → bucket is
     // deterministic); candidate ROWS never collect to the driver. ASYNC:
@@ -1337,9 +1372,12 @@ final class CrawlEngine(
       }
       require(claimsBuckets.nonEmpty,
         "empty claim set in a batch min_ready proved non-empty")
-      val touched = resolved
-        .filter(o => o.reason != CrawlDefaults.ReasonRobotsBlocked)
-        .map(_.claim.host).distinct().toDF("host")
+      // column projection over the resolved cache (optimization r6): reads
+      // only the pruned (reason, claim.host) columns instead of
+      // deserializing every Resolved object
+      val touched = resolved.toDF()
+        .filter($"reason" =!= CrawlDefaults.ReasonRobotsBlocked)
+        .select($"claim.host".as("host")).distinct()
         .withColumn("t", lit(1))
       // upserts = fetch-attempted hosts ∪ robots-refreshed hosts (a
       // robots-blocked host still persists its refreshed cache, exactly
@@ -1364,27 +1402,42 @@ final class CrawlEngine(
           coalesce($"r_body", $"robots_body").as("robots_body"),
           coalesce($"r_status", $"robots_status").as("robots_status"),
           coalesce($"r_fat", $"robots_fetched_at").as("robots_fetched_at"))
-        .withColumn("bucket", lit(0)) // placeholder, recomputed below
-        .as[HostState].map(h => h.copy(bucket = (MurmurHash3.stringHash(h.host) & 0x7fffffff) % nb))
+        .withColumn("bucket",
+          graft.functions.UrlExpressions.host_bucket($"host", nb))
+        .as[HostState]
       writeHostBuckets(newHs, claimsBuckets, bid)
     })
+
+    // the payload consumers re-probe the broadcast when the cache is slim
+    // (local val: the closures must not capture `this`)
+    val lk = pagesLookupBc
 
     // ---- docs sink (ES-index analog; one doc per fetched 200 page) ----
     val docsF = Future(timed("docs_write") {
       resolved.filter(o => o.docId.nonEmpty)
-        .map(o => (o.docId, o.claim.url, o.spans, bid))
+        .map { o =>
+          val spans =
+            if (o.lookupHash.isEmpty) o.spans
+            else CrawlEngine.probePage(lk.get.value, o.lookupHash).spans
+          (o.docId, o.claim.url, spans, bid)
+        }
         .toDF("doc_id", "url", "spans", "batch_id")
         .write.mode("overwrite").parquet(store.dataPath(s"docs_v$bid"))
     })
 
     // ---- F3 link discovery → submissions ----
     val submissions: Dataset[SubRow] = resolved.flatMap { o =>
-      if (o.outcome != "fetched" || o.links.isEmpty || o.claim.depth + 1 > maxDepth) Nil
+      if (o.outcome != "fetched" || o.claim.depth + 1 > maxDepth) Nil
       else {
+        val links =
+          if (o.lookupHash.isEmpty) o.links
+          else CrawlEngine.probePage(lk.get.value, o.lookupHash).links
+        if (links.isEmpty) Nil
+        else {
         // the page's base URL parses ONCE per page, not once per link
         // (GoUrl.absoluteUrl re-parses it for every href)
         val baseE = GoUrl.parse(o.pageUrl)
-        o.links.zipWithIndex.flatMap { case (href, li) =>
+        links.zipWithIndex.flatMap { case (href, li) =>
           // inlined ContentUrl.shouldSkipLink, keeping the href parse for
           // the resolve step: skip empty, unparseable, or
           // non-http(s)-scheme links; relative (scheme-less) links pass
@@ -1417,6 +1470,7 @@ final class CrawlEngine(
               }
           }
         }
+        }
       }
     }.persist() // link extraction+normalization runs ONCE; the frontier
     //              aggregation and the links sink both read the cache
@@ -1439,17 +1493,26 @@ final class CrawlEngine(
     val linksF =
       if (!cfg.trackDiscoveredLinks) Future.unit
       else subBucketsF.map(_ => timed("links_write") {
-        submissions
-          .map(r => (r.s.source_id,
-            // registry-resolved display name (link_handler.go:396);
-            // unregistered sources fall back to the id
-            srcNames.value.getOrElse(r.s.source_id, r.s.source_id),
-            r.s.url_hash, r.s.url, r.s.host,
-            r.s.parent_url, r.s.depth, r.s.priority,
-            r.negPrio, r.nfa, r.claimHash, r.li))
-          .toDF("source_id", "source_name", "url_hash", "url", "domain",
-            "parent_url", "depth", "priority", "negPrio", "nfa", "claimHash",
-            "li")
+        // nested-field projection, not a typed map (optimization r6): the
+        // registry-resolved display name (link_handler.go:396; fallback =
+        // the id) comes from a tiny broadcast join when the registry is
+        // non-empty instead of a per-row closure over the whole cache
+        val base = submissions.toDF().select(
+          $"s.source_id".as("source_id"), $"s.url_hash".as("url_hash"),
+          $"s.url".as("url"), $"s.host".as("domain"),
+          $"s.parent_url".as("parent_url"), $"s.depth".as("depth"),
+          $"s.priority".as("priority"), $"negPrio", $"nfa", $"claimHash",
+          $"li")
+        val names = srcNames.value
+        val named =
+          if (names.isEmpty) base.withColumn("source_name", $"source_id")
+          else base.join(
+              broadcast(names.toSeq.toDF("source_id", "source_name0")),
+              Seq("source_id"), "left_outer")
+            .withColumn("source_name",
+              coalesce($"source_name0", $"source_id"))
+            .drop("source_name0")
+        named
           .groupBy($"source_id", $"source_name", $"url_hash")
           .agg(max_by(
             struct($"url", $"domain", $"parent_url", $"depth", $"priority"),
@@ -1482,42 +1545,70 @@ final class CrawlEngine(
     // "f" fetched, "rf" fetched + re-keyed, "u" dead/failed/backoff. A
     // lazy narrow map over the cached outcomes (+ a broadcast join with
     // the accepted re-keys when any exist — never a driver-held map) ----
-    val updates0: Dataset[(FrontierUrl, String)] = resolved.map { o =>
-      val r = o.claim
-      val base = o.outcome match {
-        case "fetched" =>
-          r.copy(status = FrontierStatus.Fetched, last_fetched_at = Some(now),
-            fetch_count = r.fetch_count + 1,
-            content_hash = if (o.contentHash.isEmpty) None else Some(o.contentHash),
-            etag = None, last_modified = None,
-            retry_count = 0, updated_at = now)
-        case "dead" =>
-          r.copy(status = FrontierStatus.Dead, last_error = Some(o.reason),
-            updated_at = now)
-        case _ => // failed: backoff uses pre-increment retry_count
-          val oldRetry = r.retry_count
-          if (oldRetry + 1 >= maxRetries)
-            r.copy(status = FrontierStatus.Dead, retry_count = oldRetry + 1,
-              last_error = Some(o.reason), updated_at = now)
-          else
-            r.copy(status = FrontierStatus.Pending, retry_count = oldRetry + 1,
-              last_error = Some(o.reason),
-              next_fetch_at = now + (1L << oldRetry) * 60000L, updated_at = now)
-      }
-      (base, if (o.outcome == "fetched") "f" else "u")
-    }
-    val updates: Dataset[(FrontierUrl, String)] =
+    // Column-form of the per-claim outcome application (optimization r6,
+    // guide §4.1): the former typed map deserialized every Resolved and
+    // re-serialized a 21-field FrontierUrl per row; this projection reads
+    // only the pruned (claim, outcome, reason, contentHash) columns from
+    // the resolved cache and stays inside whole-stage codegen. Semantics
+    // are field-for-field the old match (CrawlParitySpec pins them):
+    //   fetched → Fetched, last_fetched_at=now, fetch_count+1,
+    //             content_hash=NULLIF(contentHash,''), etag/last_modified
+    //             cleared, retry_count=0, updated_at=now
+    //   dead    → Dead, last_error=reason, updated_at=now
+    //   failed  → retry_count+1; Dead at maxRetries else Pending with
+    //             next_fetch_at = now + 2^oldRetry minutes
+    def packClaim(over: Map[String, Column]): Column =
+      struct(fields.toSeq.map(f =>
+        over.getOrElse(f, col(s"claim.$f")).as(f)): _*)
+    val isFetched = $"outcome" === "fetched"
+    val isDead = $"outcome" === "dead"
+    val willDie = $"claim.retry_count" + 1 >= maxRetries
+    val updates0: DataFrame = resolved.toDF().select(
+      packClaim(Map(
+        "status" -> when(isFetched, FrontierStatus.Fetched)
+          .when(isDead || willDie, FrontierStatus.Dead)
+          .otherwise(FrontierStatus.Pending),
+        "next_fetch_at" -> when(!isFetched && !isDead && !willDie,
+            lit(now) + expr("shiftleft(cast(1 as bigint), claim.retry_count)")
+              * lit(60000L))
+          .otherwise($"claim.next_fetch_at"),
+        "last_fetched_at" -> when(isFetched, lit(now))
+          .otherwise($"claim.last_fetched_at"),
+        "fetch_count" -> when(isFetched, $"claim.fetch_count" + 1)
+          .otherwise($"claim.fetch_count"),
+        "content_hash" -> when(isFetched,
+            when($"contentHash" === "", lit(null).cast("string"))
+              .otherwise($"contentHash"))
+          .otherwise($"claim.content_hash"),
+        "etag" -> when(isFetched, lit(null).cast("string"))
+          .otherwise($"claim.etag"),
+        "last_modified" -> when(isFetched, lit(null).cast("string"))
+          .otherwise($"claim.last_modified"),
+        "retry_count" -> when(isFetched, lit(0))
+          .when(isDead, $"claim.retry_count")
+          .otherwise($"claim.retry_count" + 1),
+        "last_error" -> when(isFetched, $"claim.last_error")
+          .otherwise($"reason"),
+        "updated_at" -> lit(now))).as("_1"),
+      when(isFetched, "f").otherwise("u").as("_2"))
+    val updates: DataFrame =
       if (noRekey) updates0
-      else updates0.joinWith(broadcast(accDs),
-          updates0("_1.url_hash") === accDs("oldHash"), "left_outer")
-        .map { case ((f, tag), acc) =>
-          Option(acc) match {
-            case Some(a) if tag == "f" =>
-              (f.copy(url = a.newUrl, url_hash = a.newHash, host = a.newHost,
-                bucket = a.newBucket), "rf")
-            case _ => (f, tag)
-          }
-        }
+      else {
+        // accepted re-keys apply as a broadcast left-outer + column CASE
+        // (same shape as before, minus the typed round-trip)
+        val acc = broadcast(accDs.toDF())
+        val hit = $"oldHash".isNotNull && $"_2" === "f"
+        val rekeyed = Map[String, Column](
+          "url" -> $"newUrl", "url_hash" -> $"newHash",
+          "host" -> $"newHost", "bucket" -> $"newBucket")
+        updates0.join(acc, updates0("_1.url_hash") === acc("oldHash"),
+            "left_outer")
+          .select(
+            when(hit, struct(fields.toSeq.map(f =>
+                rekeyed.getOrElse(f, col(s"_1.$f")).as(f)): _*))
+              .otherwise($"_1").as("_1"),
+            when(hit, "rf").otherwise($"_2").as("_2"))
+      }
 
     // delta = claimed rows' buckets ∪ re-key old/new buckets ∪ submission
     // buckets; every other bucket's leaves carry forward untouched.
@@ -1537,7 +1628,6 @@ final class CrawlEngine(
     val keeps = f0p.toDF()
       .join(broadcast(claims.toDF().select("url_hash")), Seq("url_hash"), "left_anti")
       .select(struct(fields.map(col): _*).as("_1"), lit("k").as("_2"))
-      .as[(FrontierUrl, String)]
     val f1 = keeps.union(updates)
 
     // Settled-dedup probe: a submission whose hash settled in an EARLIER
@@ -1781,13 +1871,16 @@ final class CrawlEngine(
     */
   private def aggregateSubmissions(subs: Dataset[SubRow]): Dataset[SubFirst] = {
     val nb = cfg.numBuckets
-    subs
-      .map(r => (r.s.url_hash, r.s.priority, r.s.next_fetch_at, r.negPrio,
-        r.nfa, r.claimHash, r.li, r.s.url, r.s.host, r.s.source_id,
-        r.s.origin, r.s.parent_url, r.s.depth))
-      .toDF("url_hash", "priority", "next_fetch_at", "negPrio", "nfa",
-        "claimHash", "li", "url", "host", "source_id", "origin",
-        "parent_url", "depth")
+    // nested-field projection + native bucket expression (optimization
+    // r6): the former row was built by a typed map (full SubRow
+    // deserialization per submission) and the bucket by a SECOND typed
+    // map over the aggregate output; both now stay in codegen
+    subs.toDF()
+      .select($"s.url_hash".as("url_hash"), $"s.priority".as("priority"),
+        $"s.next_fetch_at".as("next_fetch_at"), $"negPrio", $"nfa",
+        $"claimHash", $"li", $"s.url".as("url"), $"s.host".as("host"),
+        $"s.source_id".as("source_id"), $"s.origin".as("origin"),
+        $"s.parent_url".as("parent_url"), $"s.depth".as("depth"))
       .groupBy($"url_hash")
       .agg(
         max($"priority").as("priority"),
@@ -1797,10 +1890,10 @@ final class CrawlEngine(
       )
       .select($"url_hash", $"priority", $"next_fetch_at", $"first.url",
         $"first.host", $"first.source_id", $"first.origin", $"first.parent_url",
-        $"first.depth")
-      .withColumn("bucket", lit(0))
+        $"first.depth",
+        graft.functions.UrlExpressions.host_bucket($"first.host", nb)
+          .as("bucket"))
       .as[SubFirst]
-      .map(s => s.copy(bucket = (MurmurHash3.stringHash(s.host) & 0x7fffffff) % nb))
   }
 
   /** Set-oriented Submit (F1): merge aggregated submissions into the delta
@@ -1814,18 +1907,31 @@ final class CrawlEngine(
     * cached or tagged.
     */
   private def mergeSubmissions(
-      f1: Dataset[(FrontierUrl, String)],
+      f1: DataFrame, // (_1: frontier-row struct, _2: lineage tag)
       subAgg: Dataset[SubFirst],
       accNew: Dataset[(Int, String)], // (bucket, url_hash) of accepted re-keys
       settledDup: Option[DataFrame], // (bucket, url_hash) settled earlier
       nParts: Int
-  ): Dataset[(FrontierUrl, String)] = {
+  ): DataFrame = {
     val now = clock
-    def mkInsert(s: SubFirst): FrontierUrl =
-      FrontierUrl(s.url, s.url_hash, s.host, s.source_id, s.origin,
-        s.parent_url, s.depth, s.priority, FrontierStatus.Pending,
-        s.next_fetch_at, None, 0, None, None, None, 0, None,
-        s.next_fetch_at, now, now, s.bucket)
+    val fields = frontierSchema.fieldNames
+    // column-form of the old typed mkInsert — field-for-field identical
+    // (discovered_at = next_fetch_at; created/updated = the batch clock)
+    val insertOver = Map[String, Column](
+      "status" -> lit(FrontierStatus.Pending),
+      "last_fetched_at" -> lit(null).cast("bigint"),
+      "fetch_count" -> lit(0),
+      "content_hash" -> lit(null).cast("string"),
+      "etag" -> lit(null).cast("string"),
+      "last_modified" -> lit(null).cast("string"),
+      "retry_count" -> lit(0),
+      "last_error" -> lit(null).cast("string"),
+      "discovered_at" -> $"next_fetch_at",
+      "created_at" -> lit(now),
+      "updated_at" -> lit(now))
+    val mkInsertStruct: Column =
+      struct(fields.toSeq.map(f =>
+        insertOver.getOrElse(f, col(f)).as(f)): _*)
     val subR0 = subAgg.repartition(nParts, $"bucket")
     // drop submissions whose hash settled in an earlier batch: the settled
     // row is out of the merge (append-only frontier), so without this they
@@ -1869,29 +1975,55 @@ final class CrawlEngine(
           }
         (marked.filter(_._2).map(_._1), marked.filter(!_._2).map(_._1))
       }
-    val freshInserts = subFresh.map(s => (mkInsert(s), "i"))
+    val freshInserts = subFresh.toDF()
+      .select(mkInsertStruct.as("_1"), lit("i").as("_2"))
+    // the full-outer merge as column CASEs (optimization r6, guide §4.1):
+    // the former joinWith + typed lambda deserialized both sides and
+    // re-serialized a full row per output — the single biggest encoder
+    // boundary of the batch (O(pending churn + submissions) rows). The
+    // CASE arms mirror the old match exactly:
+    //   f only          → (f, tag)
+    //   both, f pending → (f with max priority / min next_fetch_at /
+    //                      updated_at=now, tag + "_d")
+    //   both, else      → (f, tag + "_d")
+    //   s only          → (insert, "i")
     val f1r = f1.repartition(nParts, $"_1.bucket")
-    f1r.joinWith(subJoin,
-        f1r("_1.bucket") === subJoin("bucket") &&
-          f1r("_1.url_hash") === subJoin("url_hash"), "full_outer")
-      .map { case (fOrNull, sOrNull) =>
-        (Option(fOrNull), Option(sOrNull)) match {
-          case (Some((f, p)), Some(s)) =>
-            if (f.status == FrontierStatus.Pending)
-              (f.copy(priority = math.max(f.priority, s.priority),
-                next_fetch_at = math.min(f.next_fetch_at, s.next_fetch_at),
-                updated_at = now), p + "_d")
-            else (f, p + "_d")
-          case (Some((f, p)), None) => (f, p)
-          case (None, Some(s)) => (mkInsert(s), "i")
-          case (None, None) => sys.error("unreachable full-outer row")
-        }
-      }
+    val sj = subJoin.toDF()
+    val joined = f1r.join(sj,
+      f1r("_1.bucket") === sj("bucket") &&
+        f1r("_1.url_hash") === sj("url_hash"), "full_outer")
+    val fPresent = $"_2".isNotNull // tag is non-null on every f1 row
+    val sPresent = sj("url_hash").isNotNull
+    val pendingMod = struct(frontierSchema.fieldNames.toSeq.map {
+      case "priority" =>
+        greatest($"_1.priority", $"priority").as("priority")
+      case "next_fetch_at" =>
+        least($"_1.next_fetch_at", $"next_fetch_at").as("next_fetch_at")
+      case "updated_at" => lit(now).as("updated_at")
+      case f => col(s"_1.$f").as(f)
+    }: _*)
+    joined.select(
+      when(!fPresent, mkInsertStruct)
+        .when(sPresent && $"_1.status" === FrontierStatus.Pending, pendingMod)
+        .otherwise($"_1").as("_1"),
+      when(!fPresent, "i")
+        .when(sPresent, concat($"_2", lit("_d")))
+        .otherwise($"_2").as("_2"))
       .union(freshInserts)
   }
 }
 
 private[engine] object CrawlEngine {
+  /** Binary-search probe of the broadcast corpus arrays (url_hash-sorted).
+    * Callers only probe hashes the fetch stage already resolved, so the
+    * key is always present.
+    */
+  def probePage(bcv: (Array[String], Array[PageRow]), hash: String): PageRow = {
+    val i = java.util.Arrays.binarySearch(
+      bcv._1.asInstanceOf[Array[AnyRef]], hash)
+    bcv._2(i)
+  }
+
   /** Executor-safe sidecar write: create the version dir (idempotent,
     * concurrent-safe) and persist one bucket's serialized filter.
     */

@@ -70,6 +70,32 @@ case class ExtractHostExpr(child: Expression) extends UrlStringExpression {
   override def prettyName: String = "extract_host_native"
 }
 
+/** The engine's bucket function (MurmurHash3.stringHash(host) masked,
+  * mod numBuckets) as a codegen'd expression: the column-form of
+  * `CrawlEngine.bucketOf`, so bucket assignment in the submit/host paths
+  * stays inside whole-stage codegen instead of forcing a typed-encoder
+  * round-trip of every row just to fill one int field.
+  */
+case class HostBucketExpr(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+  require(numBuckets >= 1)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "host_bucket"
+  final def evalUtf8(input: UTF8String): Int =
+    (scala.util.hashing.MurmurHash3.stringHash(input.toString) & 0x7fffffff) %
+      numBuckets
+  override def nullSafeEval(input: Any): Any =
+    evalUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bucketExpr", this,
+        classOf[HostBucketExpr].getName)
+      s"${ev.value} = $ref.evalUtf8($c);"
+    })
+  override protected def withNewChildInternal(c: Expression): HostBucketExpr =
+    copy(child = c)
+}
+
 object UrlExpressions {
   // Spark 4's Column is Connect-neutral; the classic bridge converts
   // Column <-> catalyst Expression.
@@ -78,6 +104,8 @@ object UrlExpressions {
   def normalize_url_native(c: Column): Column = column(NormalizeUrlExpr(expression(c)))
   def url_hash_native(c: Column): Column = column(UrlHashExpr(expression(c)))
   def extract_host_native(c: Column): Column = column(ExtractHostExpr(expression(c)))
+  def host_bucket(c: Column, numBuckets: Int): Column =
+    column(HostBucketExpr(expression(c), numBuckets))
 
   /** Register the native forms for SQL use. */
   def register(spark: SparkSession): Unit = {

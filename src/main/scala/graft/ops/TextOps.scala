@@ -233,6 +233,11 @@ object TextOps {
       .localCheckpoint(eager = false)
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // consumed by BOTH per-side joins below; their column renames defeat
+      // ReuseExchange, so without this the explode+aggregate pass over the
+      // grouped set runs twice (observed: duplicated subtrees (10-16) and
+      // (19-25) in the r06 before-plan). Lazy, like `grouped` above.
+      .localCheckpoint(eager = false)
     val joined = grouped
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(

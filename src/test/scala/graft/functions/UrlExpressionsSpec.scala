@@ -38,6 +38,18 @@ class UrlExpressionsSpec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(1)) == 2)
   }
 
+  test("host_bucket matches the engine's MurmurHash3 bucket function") {
+    import spark.implicits._
+    val nb = 16
+    val hosts = Seq("example.com", "a.example.org", "h0.bench.local", "",
+      "xn--idn-tl0a.example", "host-with-очень-unicode.example")
+    val got = hosts.toDF("h")
+      .select(UrlExpressions.host_bucket(col("h"), nb)).as[Int].collect()
+    val want = hosts.map(h =>
+      (scala.util.hashing.MurmurHash3.stringHash(h) & 0x7fffffff) % nb)
+    assert(got.toSeq == want)
+  }
+
   test("registered SQL functions work end to end") {
     UrlExpressions.register(spark)
     UrlUdfs.register(spark)
