@@ -189,6 +189,14 @@ final class CrawlEngine(
   }.toMap
   private val robotsBc = spark.sparkContext.broadcast(robotsMap)
 
+  /** Parquet codec for every engine sink (state leaves + append tables).
+    * Parameterised (env) so the snappy-vs-zstd byte/CPU trade is a
+    * measurement, not a guess; default snappy (optimization r6: zstd was
+    * A/B'd on the bench drain — see OPTIMIZATION_r06.md).
+    */
+  private val parquetCodec =
+    sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")
+
   /** The robots "web server" as a function of virtual time: initial rows
     * effective from the beginning, updates from their instant. Broadcast
     * once; consulted only for hosts whose cached TTL lapsed.
@@ -639,7 +647,7 @@ final class CrawlEngine(
     val merged = sourceNamesBc.value ++ entries.map(e => e.source_id -> e.name)
     val path = nextCurationPath("sources")
     merged.toSeq.map { case (id, n) => SourceEntry(id, n) }.toDS()
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").option("compression", parquetCodec).parquet(path)
     sourcesPath = path
     sourceNamesBc = spark.sparkContext.broadcast(merged)
     commit()
@@ -671,7 +679,7 @@ final class CrawlEngine(
     val merged = current ++ updated
     val path = nextCurationPath("domain_states")
     merged.values.toSeq.sortBy(_.domain).toDS()
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").option("compression", parquetCodec).parquet(path)
     domainStatesPath = path
     commit()
     domains.distinct.size.toLong
@@ -799,7 +807,7 @@ final class CrawlEngine(
       // pending leaves sorted by due time: `next_fetch_at <= now` prunes
       // row groups of backoff rows scheduled in the future
       .sortWithinPartitions($"bucket_p", $"pend_p", $"next_fetch_at")
-      .write.mode("overwrite").partitionBy("bucket_p", "pend_p").parquet(path)
+      .write.mode("overwrite").option("compression", parquetCodec).partitionBy("bucket_p", "pend_p").parquet(path)
     val written = Seq.newBuilder[String]
     def exists(p: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(p))
@@ -848,7 +856,7 @@ final class CrawlEngine(
         .withColumn("bucket_p", $"bucket")
         .repartition(choice.size, $"bucket_p")
         .sortWithinPartitions($"bucket_p", $"url_hash")
-        .write.mode("overwrite").partitionBy("bucket_p").parquet(path)
+        .write.mode("overwrite").option("compression", parquetCodec).partitionBy("bucket_p").parquet(path)
       choice.foreach { case (b, merged) =>
         val leaf = s"$path/bucket_p=$b"
         val rest = settledSegs(b).filterNot(merged.toSet)
@@ -920,7 +928,7 @@ final class CrawlEngine(
       .repartition(math.max(1, deltaBuckets.size), $"bucket")
       .withColumn("bucket_p", $"bucket")
       .sortWithinPartitions($"bucket_p", $"host")
-      .write.mode("overwrite").partitionBy("bucket_p").parquet(path)
+      .write.mode("overwrite").option("compression", parquetCodec).partitionBy("bucket_p").parquet(path)
     val updated = for {
       b <- deltaBuckets.toSeq
       leaf = s"$path/bucket_p=$b"
@@ -1170,7 +1178,7 @@ final class CrawlEngine(
       // zero per-row object round-trips (optimization r6, guide §4.1)
       claims.toDF().select(lit(bid).as("batch_id"), $"url_hash", $"url",
           $"host", $"priority", $"next_fetch_at")
-        .write.mode("overwrite")
+        .write.mode("overwrite").option("compression", parquetCodec)
         .parquet(store.dataPath(s"claim_log_v$bid"))
     })
 
@@ -1422,7 +1430,7 @@ final class CrawlEngine(
           (o.docId, o.claim.url, spans, bid)
         }
         .toDF("doc_id", "url", "spans", "batch_id")
-        .write.mode("overwrite").parquet(store.dataPath(s"docs_v$bid"))
+        .write.mode("overwrite").option("compression", parquetCodec).parquet(store.dataPath(s"docs_v$bid"))
     })
 
     // ---- F3 link discovery → submissions ----
@@ -1526,7 +1534,7 @@ final class CrawlEngine(
             lit(now).as("discovered_at"), lit(now).as("queued_at"),
             lit("pending").as("status"), $"last.priority".as("priority"),
             lit(bid).as("batch_id"))
-          .write.mode("overwrite").parquet(store.dataPath(s"links_v$bid"))
+          .write.mode("overwrite").option("compression", parquetCodec).parquet(store.dataPath(s"links_v$bid"))
       })
 
     // ---- distributed re-key resolution (X7, frontier_repository.go:216-263)
@@ -1704,7 +1712,7 @@ final class CrawlEngine(
             dedupBy.getOrElse(b, 0L))
         }
       spark.createDataset(lineageRows).toDF().coalesce(1)
-        .write.mode("overwrite").parquet(store.dataPath(s"lineage_v$bid"))
+        .write.mode("overwrite").option("compression", parquetCodec).parquet(store.dataPath(s"lineage_v$bid"))
     })
 
     // executor-side seen-filter upkeep from the just-written delta files —
