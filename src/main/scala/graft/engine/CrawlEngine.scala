@@ -197,6 +197,29 @@ final class CrawlEngine(
   private val parquetCodec =
     sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")
 
+  // The engine's argmin/argmax aggregations (claims, submission
+  // aggregate, links last-wins) are TypedImperativeAggregates so they
+  // plan as ObjectHashAggregate instead of SortAggregate (see
+  // functions/AggExpressions). ObjectHashAggregate falls back to
+  // sort-based once a partition's hash map exceeds this many KEYS;
+  // the 128 default would re-introduce the sort for any realistic batch
+  // (local: one partition can hold every host). Keys are bounded by
+  // hosts (claims) / submissions per partition, so 1M bounds the object
+  // map at low hundreds of MB locally; clusters with many partitions sit
+  // far below it. Env-parameterised like the other deployment knobs.
+  spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+    sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "1048576"))
+
+  // The per-batch caches (claims / resolved / submissions / subAgg) are
+  // built and dropped within one micro-batch; stack profiling showed the
+  // columnar cache BUILD (ColumnBuilder append + per-column
+  // compressibility stats) as the hottest executor frame group in a
+  // drain. Cache compression trades CPU on the batch's critical path for
+  // memory none of these short-lived caches needs — off by default,
+  // env-parameterised for memory-tight deployments.
+  spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed",
+    sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "false"))
+
   /** The robots "web server" as a function of virtual time: initial rows
     * effective from the beginning, updates from their instant. Broadcast
     * once; consulted only for hosts whose cached TTL lapsed.
@@ -1128,7 +1151,7 @@ final class CrawlEngine(
       .filter($"next_fetch_at" <= now && $"host_ready" <= now)
     val claimsDf = eligible
       .groupBy($"host".as("claim_host"))
-      .agg(min_by(struct(fields.map(col): _*),
+      .agg(graft.functions.AggExpressions.min_by_obj(struct(fields.map(col): _*),
         struct((-$"priority").as("np"), $"next_fetch_at", $"url_hash")).as("top"))
       .select($"top.*").as[FrontierUrl]
       .persist() // every downstream consumer reads the cached claims
@@ -1522,7 +1545,7 @@ final class CrawlEngine(
             .drop("source_name0")
         named
           .groupBy($"source_id", $"source_name", $"url_hash")
-          .agg(max_by(
+          .agg(graft.functions.AggExpressions.max_by_obj(
             struct($"url", $"domain", $"parent_url", $"depth", $"priority"),
             struct($"negPrio", $"nfa", $"claimHash", $"li")).as("last"))
           .select($"source_id", $"source_name",
@@ -1893,8 +1916,9 @@ final class CrawlEngine(
       .agg(
         max($"priority").as("priority"),
         min($"next_fetch_at").as("next_fetch_at"),
-        min_by(struct($"url", $"host", $"source_id", $"origin", $"parent_url",
-          $"depth"), struct($"negPrio", $"nfa", $"claimHash", $"li")).as("first")
+        graft.functions.AggExpressions.min_by_obj(
+          struct($"url", $"host", $"source_id", $"origin", $"parent_url",
+            $"depth"), struct($"negPrio", $"nfa", $"claimHash", $"li")).as("first")
       )
       .select($"url_hash", $"priority", $"next_fetch_at", $"first.url",
         $"first.host", $"first.source_id", $"first.origin", $"first.parent_url",
