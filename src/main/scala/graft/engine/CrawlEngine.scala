@@ -1188,6 +1188,12 @@ final class CrawlEngine(
     val robots = robotsBc
     val preFilter = cfg.usePreSubmitUrlFilter
     val fields = frontierSchema.fieldNames
+    // per-batch values as ParamLiteral64, NOT lit(): identical generated
+    // source across batches -> the JVM codegen cache compiles each stage
+    // once per drain instead of once per batch (the claim scan's pushed
+    // literal clock is deliberately NOT converted - see ParamLiteral64)
+    val nowL = graft.functions.AggExpressions.param_lit(now)
+    val bidL = graft.functions.AggExpressions.param_lit(bid)
 
     // claim log (the crawl-ordering trace; in-batch order = the defined
     // tuple, so no global sort is materialized here). Sink writes that are
@@ -1199,7 +1205,7 @@ final class CrawlEngine(
     val claimLogF = Future(timed("claim_log") {
       // column projection, not a typed map: same ClaimLogEntry shape with
       // zero per-row object round-trips (optimization r6, guide §4.1)
-      claims.toDF().select(lit(bid).as("batch_id"), $"url_hash", $"url",
+      claims.toDF().select(bidL.as("batch_id"), $"url_hash", $"url",
           $"host", $"priority", $"next_fetch_at")
         .write.mode("overwrite").option("compression", parquetCodec)
         .parquet(store.dataPath(s"claim_log_v$bid"))
@@ -1428,7 +1434,7 @@ final class CrawlEngine(
       val newHs = hostSlice(claimsBuckets).toDF()
         .join(upserts, Seq("host"), "full_outer")
         .select($"host",
-          when($"t".isNotNull, lit(now)).otherwise($"last_fetch_at").as("last_fetch_at"),
+          when($"t".isNotNull, nowL).otherwise($"last_fetch_at").as("last_fetch_at"),
           coalesce($"min_delay_ms", lit(CrawlDefaults.MinDelayMs)).as("min_delay_ms"),
           coalesce($"r_body", $"robots_body").as("robots_body"),
           coalesce($"r_status", $"robots_status").as("robots_status"),
@@ -1554,9 +1560,9 @@ final class CrawlEngine(
             $"last.domain".as("domain"),
             lit(null).cast("int").as("http_status"),
             lit(null).cast("string").as("content_type"),
-            lit(now).as("discovered_at"), lit(now).as("queued_at"),
+            nowL.as("discovered_at"), nowL.as("queued_at"),
             lit("pending").as("status"), $"last.priority".as("priority"),
-            lit(bid).as("batch_id"))
+            bidL.as("batch_id"))
           .write.mode("overwrite").option("compression", parquetCodec).parquet(store.dataPath(s"links_v$bid"))
       })
 
@@ -1600,10 +1606,10 @@ final class CrawlEngine(
           .when(isDead || willDie, FrontierStatus.Dead)
           .otherwise(FrontierStatus.Pending),
         "next_fetch_at" -> when(!isFetched && !isDead && !willDie,
-            lit(now) + expr("shiftleft(cast(1 as bigint), claim.retry_count)")
+            nowL + expr("shiftleft(cast(1 as bigint), claim.retry_count)")
               * lit(60000L))
           .otherwise($"claim.next_fetch_at"),
-        "last_fetched_at" -> when(isFetched, lit(now))
+        "last_fetched_at" -> when(isFetched, nowL)
           .otherwise($"claim.last_fetched_at"),
         "fetch_count" -> when(isFetched, $"claim.fetch_count" + 1)
           .otherwise($"claim.fetch_count"),
@@ -1620,7 +1626,7 @@ final class CrawlEngine(
           .otherwise($"claim.retry_count" + 1),
         "last_error" -> when(isFetched, $"claim.last_error")
           .otherwise($"reason"),
-        "updated_at" -> lit(now))).as("_1"),
+        "updated_at" -> nowL)).as("_1"),
       when(isFetched, "f").otherwise("u").as("_2"))
     val updates: DataFrame =
       if (noRekey) updates0
@@ -1946,6 +1952,7 @@ final class CrawlEngine(
       nParts: Int
   ): DataFrame = {
     val now = clock
+    val nowL = graft.functions.AggExpressions.param_lit(now)
     val fields = frontierSchema.fieldNames
     // column-form of the old typed mkInsert — field-for-field identical
     // (discovered_at = next_fetch_at; created/updated = the batch clock)
@@ -1959,8 +1966,8 @@ final class CrawlEngine(
       "retry_count" -> lit(0),
       "last_error" -> lit(null).cast("string"),
       "discovered_at" -> $"next_fetch_at",
-      "created_at" -> lit(now),
-      "updated_at" -> lit(now))
+      "created_at" -> nowL,
+      "updated_at" -> nowL)
     val mkInsertStruct: Column =
       struct(fields.toSeq.map(f =>
         insertOver.getOrElse(f, col(f)).as(f)): _*)
@@ -2031,7 +2038,7 @@ final class CrawlEngine(
         greatest($"_1.priority", $"priority").as("priority")
       case "next_fetch_at" =>
         least($"_1.next_fetch_at", $"next_fetch_at").as("next_fetch_at")
-      case "updated_at" => lit(now).as("updated_at")
+      case "updated_at" => nowL.as("updated_at")
       case f => col(s"_1.$f").as(f)
     }: _*)
     joined.select(

@@ -2,10 +2,39 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** A long "parameter literal" (optimization r6): evaluates like
+  * `lit(value)` but generates code through a plan reference object
+  * instead of an inline constant, so two plans differing ONLY in such
+  * values produce IDENTICAL generated source and hit the JVM-global
+  * codegen cache. The engine's micro-batches embed a fresh virtual
+  * clock and batch id every batch; with plain literals every stage's
+  * whole-stage source changes each batch and Janino recompiles all of
+  * it, every batch, on the serial path (observed as a top profiled
+  * frame group). Non-foldable by construction — constant folding would
+  * inline the value back into the source. NOT used where a literal must
+  * reach a data source as a pushed filter (the claim scan's literal
+  * clock stays a real literal for parquet row-group skipping).
+  */
+case class ParamLiteral64(value: Long) extends LeafExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "param_literal"
+  override def eval(input: InternalRow): Any = value
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftParam", this,
+      classOf[ParamLiteral64].getName)
+    ev.copy(code = code"final long ${ev.value} = $ref.value();",
+      isNull = FalseLiteral)
+  }
+}
 
 /** Mutable (ordering, value) pair held per group by [[ObjArgExtremum]]. */
 final class ArgExtremumBuf(var ord: Any, var value: Any)
@@ -115,4 +144,7 @@ object AggExpressions {
   def max_by_obj(value: Column, ordering: Column): Column = column(
     ObjArgExtremum(expression(value), expression(ordering), max = true)
       .toAggregateExpression())
+
+  /** Codegen-cache-stable long literal (see [[ParamLiteral64]]). */
+  def param_lit(value: Long): Column = column(ParamLiteral64(value))
 }
