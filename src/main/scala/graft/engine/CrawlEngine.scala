@@ -1388,6 +1388,14 @@ final class CrawlEngine(
           $"claimHost").as("newHost"))
       .withColumn("newBucket",
         graft.functions.UrlExpressions.host_bucket($"newHost", nb))
+      // FOUR consumers evaluate this pipeline (the bucket collect below,
+      // then resolveRekeys' existence-probe broadcast, join left side and
+      // enabler broadcast) and each re-ran the per-fetched-row normalize
+      // over the resolved cache — rekey_resolve measured 17-18 s/batch at
+      // p1 before this persist, with ~3 of the 4 evaluations redundant.
+      // Tiny cache (candidates = redirect-reached claims only); dropped
+      // with the other per-batch caches.
+      .persist()
     // ONE action materializes the resolved cache AND returns the buckets
     // candidate hashes can live in (url_hash → host → bucket is
     // deterministic); candidate ROWS never collect to the driver. ASYNC:
@@ -1764,6 +1772,7 @@ final class CrawlEngine(
     Await.result(filtersF, Duration.Inf)
     commit()
     rekeyCleanup()
+    rekeyCandidates.unpersist()
     robotsEffDs.foreach(_.unpersist())
     settledDup.foreach(_.unpersist())
     claims.unpersist()
