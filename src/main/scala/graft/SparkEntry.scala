@@ -355,7 +355,11 @@ object SparkEntry {
     //      engine/CrawlEngine.discoveredLinks) ----
     "q32_upsert_view" -> ((s, d) =>
       t(s, d, "events").groupBy("user_id")
-        .agg(max_by(struct(col("event_id"), col("event_type"), col("value")),
+        // max_by_obj = the built-in's exact semantics as an
+        // ObjectHashAggregate-eligible aggregate (the built-in's
+        // var-length buffer planned SortAggregate; optimization r6)
+        .agg(graft.functions.AggExpressions.max_by_obj(
+            struct(col("event_id"), col("event_type"), col("value")),
             struct(col("ts"), col("event_id"))).as("last"),
           min(col("ts")).as("first_seen"),
           count(lit(1)).as("versions"))

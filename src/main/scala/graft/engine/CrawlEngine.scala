@@ -1837,9 +1837,10 @@ final class CrawlEngine(
     val dec0 = c2.groupBy($"newHash".as("nh")).agg(
         first($"ex").as("ex"),
         first($"enabHash").as("enabHash"),
-        min_by(candStruct, candKey).as("win"),
-        min_by(candStruct, struct(posRank, $"negPrio", $"nfa", $"oldHash"))
-          .as("cwin"),
+        graft.functions.AggExpressions.min_by_obj(candStruct, candKey)
+          .as("win"),
+        graft.functions.AggExpressions.min_by_obj(candStruct,
+          struct(posRank, $"negPrio", $"nfa", $"oldHash")).as("cwin"),
         min(posRank).as("anyPos"))
       .select(
         when(!$"ex", $"win")
